@@ -1,0 +1,276 @@
+"""Batch-level evaluation context.
+
+A :class:`SentenceBatch` wraps one Arrow record batch worth of sentences.
+Token layers are factorized once per batch (string → int codes + a small
+vocabulary); every leaf token-constraint is then evaluated once against the
+vocabulary and broadcast to per-token boolean masks with a single numpy
+gather. This is what makes a Python matcher viable at scale: the string
+work is O(|vocab|) per batch instead of O(|tokens|) per pattern node.
+
+The reference gets an equivalent effect from Lucene's term dictionary
+(terms are matched against the dictionary once, then matching is
+postings-id based); here the Arrow batch plays the role of the index
+segment.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..lang import ast
+from ..lang.normalize import normalize_unicode, normalize_unicode_aggressively
+from .graph import Digraph, LabelVocab
+from .matches import StateMatch
+
+MULTI_VALUED_FIELDS = ("incoming", "outgoing")
+
+
+class _FactorizedField:
+    __slots__ = ("codes", "offsets", "vocab", "index", "pred_cache")
+
+    def __init__(self, codes, offsets, vocab):
+        self.codes = codes          # int32 flat codes (one per token / per value)
+        self.offsets = offsets      # int64, len = n_sentences + 1 (token offsets)
+        self.vocab = vocab          # list[str]
+        self.index = None           # built lazily for exact lookups
+        self.pred_cache: Dict[object, np.ndarray] = {}
+
+
+class _FactorizedMultiField:
+    """Field with multiple values per token (incoming/outgoing edge labels)."""
+
+    __slots__ = ("codes", "tok_offsets", "sent_offsets", "vocab", "pred_cache")
+
+    def __init__(self, codes, tok_offsets, sent_offsets, vocab):
+        self.codes = codes
+        self.tok_offsets = tok_offsets    # per-token value offsets (flat across batch)
+        self.sent_offsets = sent_offsets  # sentence -> first token index
+        self.vocab = vocab
+        self.pred_cache: Dict[object, np.ndarray] = {}
+
+
+def _factorize(values: List[str]):
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(values, dtype=object), use_na_sentinel=False)
+    return codes.astype(np.int32), list(uniques)
+
+
+class SentenceBatch:
+    def __init__(
+        self,
+        layers: Dict[str, List[Optional[List[str]]]],
+        num_tokens: List[int],
+        edges: Optional[List[Optional[Sequence[Tuple[int, int, str]]]]] = None,
+        roots: Optional[List[Sequence[int]]] = None,
+        mentions: Optional[List[Dict[str, List[Tuple[int, int]]]]] = None,
+        default_field: str = "norm",
+    ):
+        self.raw_layers = layers
+        self.num_tokens = num_tokens
+        self.n_sentences = len(num_tokens)
+        self.default_field = default_field
+        self._fields: Dict[str, _FactorizedField] = {}
+        self._multi_fields: Dict[str, _FactorizedMultiField] = {}
+        self._edges = edges
+        self._roots = roots
+        self._mentions = mentions
+        self._graphs: Optional[List[Optional[Digraph]]] = None
+        self.label_vocab: Optional[LabelVocab] = None
+        self._tok_offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
+        np.cumsum(num_tokens, out=self._tok_offsets[1:])
+
+    # -- token layers ---------------------------------------------------
+
+    def field(self, name: str) -> _FactorizedField:
+        f = self._fields.get(name)
+        if f is None:
+            col = self.raw_layers.get(name)
+            if col is None:
+                raise KeyError(f"no such token layer: {name}")
+            flat: List[str] = []
+            for i, toks in enumerate(col):
+                if toks is None:
+                    toks = [""] * self.num_tokens[i]
+                flat.extend(toks)
+            codes, vocab = _factorize(flat)
+            f = _FactorizedField(codes, self._tok_offsets, vocab)
+            self._fields[name] = f
+        return f
+
+    def multi_field(self, name: str) -> _FactorizedMultiField:
+        f = self._multi_fields.get(name)
+        if f is None:
+            col = self.raw_layers.get(name)
+            if col is None:
+                raise KeyError(f"no such multi-valued layer: {name}")
+            flat: List[str] = []
+            tok_offsets = [0]
+            sent_offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
+            for i, toks in enumerate(col):
+                if toks is None:
+                    toks = [[] for _ in range(self.num_tokens[i])]
+                for vals in toks:
+                    flat.extend(vals or ())
+                    tok_offsets.append(len(flat))
+                sent_offsets[i + 1] = sent_offsets[i] + self.num_tokens[i]
+            codes, vocab = _factorize(flat) if flat else (np.zeros(0, np.int32), [])
+            f = _FactorizedMultiField(
+                codes, np.asarray(tok_offsets, dtype=np.int64), sent_offsets, vocab
+            )
+            self._multi_fields[name] = f
+        return f
+
+    def has_field(self, name: str) -> bool:
+        return name in self.raw_layers and self.raw_layers[name] is not None
+
+    # -- leaf constraint evaluation --------------------------------------
+
+    def _vocab_pred(self, field_name: str, matcher, fuzzy: bool) -> np.ndarray:
+        multi = field_name in MULTI_VALUED_FIELDS
+        f = self.multi_field(field_name) if multi else self.field(field_name)
+        key = (type(matcher).__name__, getattr(matcher, "string", None) or getattr(matcher, "pattern", None), fuzzy)
+        pred = f.pred_cache.get(key)
+        if pred is not None:
+            return pred
+        vocab = f.vocab
+        if isinstance(matcher, ast.StringMatcher):
+            if field_name == self.default_field:
+                term = normalize_unicode_aggressively(matcher.string)
+            else:
+                term = normalize_unicode(matcher.string)
+            if fuzzy:
+                pred = np.fromiter(
+                    (_edit_distance_le2(term, v) for v in vocab), dtype=bool, count=len(vocab)
+                )
+            else:
+                pred = np.fromiter((v == term for v in vocab), dtype=bool, count=len(vocab))
+        elif isinstance(matcher, ast.RegexMatcher):
+            import re
+
+            rx = re.compile(normalize_unicode(matcher.pattern))
+            pred = np.fromiter(
+                (rx.fullmatch(v) is not None for v in vocab), dtype=bool, count=len(vocab)
+            )
+        else:
+            raise TypeError(f"unknown matcher {matcher!r}")
+        f.pred_cache[key] = pred
+        return pred
+
+    def leaf_mask(self, sent_idx: int, field_name: str, matcher, fuzzy: bool = False) -> np.ndarray:
+        pred = self._vocab_pred(field_name, matcher, fuzzy)
+        if field_name in MULTI_VALUED_FIELDS:
+            f = self.multi_field(field_name)
+            t0 = int(f.sent_offsets[sent_idx])
+            n = self.num_tokens[sent_idx]
+            out = np.zeros(n, dtype=bool)
+            if len(pred) and pred.any():
+                hit = pred[f.codes] if len(f.codes) else np.zeros(0, bool)
+                # any matching value per token
+                cum = np.concatenate(([0], np.cumsum(hit)))
+                starts = f.tok_offsets[t0 : t0 + n]
+                ends = f.tok_offsets[t0 + 1 : t0 + n + 1]
+                out = (cum[ends] - cum[starts]) > 0
+            return out
+        f = self.field(field_name)
+        a, b = int(f.offsets[sent_idx]), int(f.offsets[sent_idx + 1])
+        if len(pred) == 0 or not pred.any():
+            return np.zeros(b - a, dtype=bool)
+        return pred[f.codes[a:b]]
+
+    # -- graphs ----------------------------------------------------------
+
+    def graph(self, sent_idx: int) -> Optional[Digraph]:
+        if self._graphs is None:
+            self._build_graphs()
+        return self._graphs[sent_idx]
+
+    def _build_graphs(self):
+        if self._edges is None:
+            self._graphs = [None] * self.n_sentences
+            self.label_vocab = LabelVocab([])
+            return
+        all_labels: List[str] = []
+        for e in self._edges:
+            if e:
+                all_labels.extend(lab for _, _, lab in e)
+        codes, vocab = _factorize(all_labels) if all_labels else (np.zeros(0, np.int32), [])
+        self.label_vocab = LabelVocab(vocab)
+        graphs: List[Optional[Digraph]] = []
+        k = 0
+        for i in range(self.n_sentences):
+            e = self._edges[i]
+            if not e:
+                graphs.append(None)
+                continue
+            triples = []
+            for (src, dst, _lab) in e:
+                triples.append((src, dst, int(codes[k])))
+                k += 1
+            roots = self._roots[i] if self._roots else ()
+            graphs.append(Digraph.from_edges(self.num_tokens[i], triples, roots or ()))
+        self._graphs = graphs
+
+    # -- per-sentence contexts --------------------------------------------
+
+    def context(self, sent_idx: int) -> "SentenceContext":
+        return SentenceContext(self, sent_idx)
+
+
+def _edit_distance_le2(a: str, b: str) -> bool:
+    """True iff Levenshtein(a, b) <= 2 (Lucene FuzzyQuery default maxEdits)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 2:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > 2:
+            return False
+        prev = cur
+    return prev[lb] <= 2
+
+
+class SentenceContext:
+    __slots__ = ("batch", "idx", "n", "mask_cache", "node_cache", "_graph_loaded", "_graph")
+
+    def __init__(self, batch: SentenceBatch, idx: int):
+        self.batch = batch
+        self.idx = idx
+        self.n = batch.num_tokens[idx]
+        self.mask_cache: Dict[int, np.ndarray] = {}
+        self.node_cache: Dict[int, list] = {}
+        self._graph_loaded = False
+        self._graph = None
+
+    @property
+    def graph(self) -> Optional[Digraph]:
+        if not self._graph_loaded:
+            self._graph = self.batch.graph(self.idx)
+            self._graph_loaded = True
+        return self._graph
+
+    @property
+    def label_vocab(self) -> LabelVocab:
+        if self.batch.label_vocab is None:
+            self.batch._build_graphs()
+        return self.batch.label_vocab
+
+    def mentions(self, label: str) -> List[StateMatch]:
+        ms = self.batch._mentions
+        if not ms:
+            return []
+        spans = ms[self.idx].get(label, []) if ms[self.idx] else []
+        return [StateMatch(s, e) for (s, e) in spans]

@@ -1,0 +1,185 @@
+"""Sentence-local labeled digraphs in CSR form + traversal evaluation.
+
+The dependency/code-structure graph of one sentence is stored as two CSR
+adjacency maps (incoming, outgoing) whose flat arrays interleave
+``(neighbor, label_id)`` pairs — the same wire shape the reference uses
+(/root/reference/core/src/main/scala/ai/lum/odinson/digraph/DirectedGraph.scala:21-62),
+chosen here because it round-trips through Arrow ``array<int>`` columns with
+zero copies into numpy.
+
+Label ids index a *batch-local* vocabulary (built per Arrow batch by
+factorizing edge labels). Label matchers are evaluated once per vocabulary
+and cached as boolean arrays, so the traversal inner loop is integer-only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..lang import ast
+
+
+class Digraph:
+    __slots__ = ("in_flat", "in_slices", "out_flat", "out_slices", "roots", "n")
+
+    def __init__(self, in_flat, in_slices, out_flat, out_slices, roots, n):
+        self.in_flat = in_flat
+        self.in_slices = in_slices
+        self.out_flat = out_flat
+        self.out_slices = out_slices
+        self.roots = roots
+        self.n = n
+
+    @staticmethod
+    def from_edges(n: int, edges: Sequence[Tuple[int, int, int]], roots=()) -> "Digraph":
+        """Build CSR from (src, dst, label_id) triples. An edge src→dst is
+        *outgoing* at src and *incoming* at dst."""
+        out_adj: List[List[int]] = [[] for _ in range(n)]
+        in_adj: List[List[int]] = [[] for _ in range(n)]
+        for src, dst, lab in edges:
+            if 0 <= src < n and 0 <= dst < n:
+                out_adj[src].extend((dst, lab))
+                in_adj[dst].extend((src, lab))
+        def csr(adj):
+            slices = np.zeros(n + 1, dtype=np.int32)
+            for i, a in enumerate(adj):
+                slices[i + 1] = slices[i] + len(a)
+            flat = np.fromiter(
+                (x for a in adj for x in a), dtype=np.int32, count=int(slices[-1])
+            )
+            return flat, slices
+        out_flat, out_slices = csr(out_adj)
+        in_flat, in_slices = csr(in_adj)
+        return Digraph(in_flat, in_slices, out_flat, out_slices, tuple(roots), n)
+
+
+class LabelVocab:
+    """Batch-local edge-label vocabulary with cached matcher masks."""
+
+    __slots__ = ("labels", "index", "_mask_cache")
+
+    def __init__(self, labels: Sequence[str]):
+        self.labels = list(labels)
+        self.index = {s: i for i, s in enumerate(self.labels)}
+        self._mask_cache: Dict[object, np.ndarray] = {}
+
+    def matcher_mask(self, matcher) -> np.ndarray:
+        """Boolean array over the vocabulary for a StringMatcher/RegexMatcher.
+        Regexes are fully anchored, mirroring the reference
+        (digraph/LabelMatcher.scala:26-34)."""
+        key = matcher
+        m = self._mask_cache.get(key)
+        if m is not None:
+            return m
+        if isinstance(matcher, ast.StringMatcher):
+            mask = np.zeros(len(self.labels), dtype=bool)
+            i = self.index.get(matcher.string)
+            if i is not None:
+                mask[i] = True
+        elif isinstance(matcher, ast.RegexMatcher):
+            rx = re.compile(matcher.pattern)
+            mask = np.fromiter(
+                (rx.fullmatch(s) is not None for s in self.labels),
+                dtype=bool,
+                count=len(self.labels),
+            )
+        else:
+            raise TypeError(f"unknown matcher {matcher!r}")
+        self._mask_cache[key] = mask
+        return mask
+
+
+# ---------------------------------------------------------------------------
+# traversal evaluation
+# traverse(graph, vocab, start_nodes) -> ordered distinct destination nodes
+# semantics parity: digraph/GraphTraversal.scala
+# ---------------------------------------------------------------------------
+
+
+def _dedup_keep_order(nodes: List[int]) -> List[int]:
+    seen = set()
+    out = []
+    for x in nodes:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+def _step(graph: Digraph, flat, slices, node: int, mask: Optional[np.ndarray]) -> List[int]:
+    if node < 0 or node >= graph.n:
+        return []
+    a, b = int(slices[node]), int(slices[node + 1])
+    if a == b:
+        return []
+    seg = flat[a:b]
+    nbrs = seg[0::2]
+    if mask is None:
+        return nbrs.tolist()
+    labs = seg[1::2]
+    return nbrs[mask[labs]].tolist()
+
+
+def traverse(tr, graph: Digraph, vocab: LabelVocab, start_nodes: List[int]) -> List[int]:
+    t = type(tr)
+    if t is ast.NoTraversal:
+        return list(start_nodes)
+    if t is ast.IncomingWildcard:
+        out = []
+        for nd in start_nodes:
+            out.extend(_step(graph, graph.in_flat, graph.in_slices, nd, None))
+        return _dedup_keep_order(out)
+    if t is ast.OutgoingWildcard:
+        out = []
+        for nd in start_nodes:
+            out.extend(_step(graph, graph.out_flat, graph.out_slices, nd, None))
+        return _dedup_keep_order(out)
+    if t is ast.IncomingTraversal:
+        mask = vocab.matcher_mask(tr.matcher)
+        if not mask.any():
+            return []
+        out = []
+        for nd in start_nodes:
+            out.extend(_step(graph, graph.in_flat, graph.in_slices, nd, mask))
+        return _dedup_keep_order(out)
+    if t is ast.OutgoingTraversal:
+        mask = vocab.matcher_mask(tr.matcher)
+        if not mask.any():
+            return []
+        out = []
+        for nd in start_nodes:
+            out.extend(_step(graph, graph.out_flat, graph.out_slices, nd, mask))
+        return _dedup_keep_order(out)
+    if t is ast.ConcatenatedTraversal:
+        current = list(start_nodes)
+        for sub in tr.traversals:
+            if not current:
+                return []
+            current = traverse(sub, graph, vocab, current)
+        return current
+    if t is ast.DisjunctiveTraversal:
+        out = []
+        for sub in tr.traversals:
+            out.extend(traverse(sub, graph, vocab, start_nodes))
+        return _dedup_keep_order(out)
+    if t is ast.OptionalTraversal:
+        out = list(start_nodes)
+        out.extend(traverse(tr.traversal, graph, vocab, start_nodes))
+        return _dedup_keep_order(out)
+    if t is ast.KleeneStarTraversal:
+        # cycle-safe BFS fixpoint (GraphTraversal.scala:173-191)
+        seen: List[int] = []
+        seen_set = set()
+        frontier = list(start_nodes)
+        while frontier:
+            node = frontier.pop(0)
+            if node in seen_set:
+                continue
+            seen_set.add(node)
+            seen.append(node)
+            frontier = traverse(tr.traversal, graph, vocab, [node]) + frontier
+        return seen
+    raise TypeError(f"unknown traversal {tr!r}")

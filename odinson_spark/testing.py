@@ -1,0 +1,74 @@
+"""Test helpers: build in-memory sentence batches without Spark.
+
+Mirrors the reference's test utilities
+(core/src/main/scala/ai/lum/odinson/test/utils/OdinsonTest.scala:153 —
+``mkExtractorEngineFromText`` splits on whitespace and indexes only the raw
+layer; the synthetic ``norm`` layer derives from it).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .lang.normalize import normalize_unicode, normalize_unicode_aggressively, sanitize_token
+from .match.context import SentenceBatch
+
+
+def sentence_batch_from_texts(texts: Sequence[str]) -> SentenceBatch:
+    raw = [[sanitize_token(normalize_unicode(t)) for t in s.split()] for s in texts]
+    norm = [[normalize_unicode_aggressively(t) for t in toks] for toks in raw]
+    return SentenceBatch(
+        layers={"raw": raw, "word": raw, "norm": norm},
+        num_tokens=[len(t) for t in raw],
+    )
+
+
+def sentence_batch_from_docs(sentences: List[dict]) -> SentenceBatch:
+    """Build a batch from annotated-sentence dicts with keys:
+    ``raw word lemma tag chunk entity`` (token lists), ``edges`` (list of
+    (src, dst, label)), ``roots`` (list of int), ``mentions``
+    (dict label -> [(start, end), …])."""
+    n = len(sentences)
+    layer_names = ("raw", "word", "lemma", "tag", "chunk", "entity", "incoming", "outgoing")
+    layers: Dict[str, list] = {k: [] for k in layer_names}
+    layers["norm"] = []
+    num_tokens = []
+    edges = []
+    roots = []
+    mentions = []
+    for s in sentences:
+        raw = [sanitize_token(normalize_unicode(t)) for t in s["raw"]]
+        word = [sanitize_token(normalize_unicode(t)) for t in s.get("word", s["raw"])]
+        num_tokens.append(len(raw))
+        layers["raw"].append(raw)
+        layers["word"].append(word)
+        # norm merges raw+word normalized variants; here: normalized word
+        # (raw==word in all reference fixtures)
+        layers["norm"].append([normalize_unicode_aggressively(t) for t in word])
+        for k in ("lemma", "tag", "chunk", "entity"):
+            v = s.get(k)
+            layers[k].append([normalize_unicode(t) for t in v] if v else None)
+        e = s.get("edges") or []
+        edges.append(e)
+        roots.append(s.get("roots") or [])
+        mentions.append(s.get("mentions") or {})
+        # derived per-token incoming/outgoing label lists
+        inc = [[] for _ in raw]
+        out = [[] for _ in raw]
+        for (src, dst, lab) in e:
+            if 0 <= src < len(raw) and 0 <= dst < len(raw):
+                out[src].append(lab)
+                inc[dst].append(lab)
+        layers["incoming"].append(inc)
+        layers["outgoing"].append(out)
+    return SentenceBatch(
+        layers=layers,
+        num_tokens=num_tokens,
+        edges=edges,
+        roots=roots,
+        mentions=mentions,
+    )
+
+
+def match_strings(tokens: Sequence[str], matches) -> List[str]:
+    return [" ".join(tokens[m.start : m.end]) for m in matches]
