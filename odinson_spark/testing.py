@@ -72,3 +72,31 @@ def sentence_batch_from_docs(sentences: List[dict]) -> SentenceBatch:
 
 def match_strings(tokens: Sequence[str], matches) -> List[str]:
     return [" ".join(tokens[m.start : m.end]) for m in matches]
+
+
+def doc_json_to_sentences(doc: dict) -> List[dict]:
+    """Convert a reference-format Document JSON (OdinsonDocument.scala:13-126)
+    into the plain sentence dicts :func:`sentence_batch_from_docs` accepts."""
+    out = []
+    for s in doc.get("sentences", []):
+        sent: Dict[str, object] = {}
+        for f in s.get("fields", []):
+            ftype = f.get("$type", "")
+            name = f.get("name")
+            if ftype.endswith("TokensField"):
+                sent[name] = f.get("tokens")
+            elif ftype.endswith("GraphField"):
+                sent["edges"] = [tuple(e) for e in f.get("edges", [])]
+                sent["roots"] = list(f.get("roots", []))
+        if "raw" not in sent and "word" in sent:
+            sent["raw"] = sent["word"]
+        out.append(sent)
+    return out
+
+
+def batch_from_doc_json(doc: dict, mentions: Optional[List[dict]] = None) -> SentenceBatch:
+    sentences = doc_json_to_sentences(doc)
+    if mentions:
+        for s, m in zip(sentences, mentions):
+            s["mentions"] = m
+    return sentence_batch_from_docs(sentences)
