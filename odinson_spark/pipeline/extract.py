@@ -1,0 +1,392 @@
+"""Spark extraction stages.
+
+Layout of the distributed job (idiomatic-Spark re-expression of the
+reference's index+search lifecycle, ExtractorEngine.scala §3 of SURVEY.md):
+
+1. ``tokenize_repos`` / ``tokenize_documents`` — ``mapInPandas`` annotation
+   stage (repos(content) → sentence rows). Pure, deterministic, no shuffle.
+2. ``apply_prefilter`` — a Catalyst-pushable necessary condition derived from
+   the compiled rules (plans/prefilter.py). No shuffle; enables scan pruning.
+3. ``extract_mentions_df`` — ``mapInPandas`` matcher stage. Rules are
+   compiled on the driver and shipped once per executor via broadcast.
+   No shuffle: each sentence row is self-contained (token layers + graph).
+4. ``triples_from_mentions`` — pure DataFrame ops (filter/explode on the
+   captures array); stays in whole-stage codegen.
+
+Scale notes: stages 1–3 are embarrassingly parallel (the only wide ops in
+the whole extraction path are the optional state-cascade joins and the final
+write). Skew from giant files is handled upstream by salted repartitioning
+(pipeline/skew.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lang import ast
+from ..lang.rules import Extractor
+from ..match import program as prog
+from ..match.context import SentenceBatch
+from ..match.extractor import BatchExtractor
+from ..plans.prefilter import pf_or, prefilter_of, to_spark_column
+from ..schema import MENTIONS_SCHEMA, SENTENCES_SCHEMA, TRIPLES_SCHEMA
+from ..tokenizer.code_tokenizer import annotate_code, annotate_text, content_sha
+
+# ---------------------------------------------------------------------------
+# stage 1: tokenize
+# ---------------------------------------------------------------------------
+
+
+def _sentences_rows(doc_id, sha, lang, sentences) -> Iterator[dict]:
+    for s in sentences:
+        edges = s.get("edges") or []
+        labels = [lab for _, _, lab in edges]
+        incoming = sorted({lab for _, _, lab in edges})
+        yield {
+            "doc_id": doc_id,
+            "sent_id": s["sent_id"],
+            "content_sha": sha,
+            "lang": lang,
+            "num_tokens": len(s["raw"]),
+            "raw": s["raw"],
+            "word": s["word"],
+            "norm": s["norm"],
+            "lemma": s["lemma"],
+            "tag": s["tag"],
+            "chunk": s["chunk"],
+            "entity": s["entity"],
+            "deps_src": [e[0] for e in edges],
+            "deps_dst": [e[1] for e in edges],
+            "deps_label": labels,
+            "deps_roots": s.get("roots") or [],
+            "incoming_flat": incoming,
+            "outgoing_flat": incoming,
+        }
+
+
+def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
+    """repos(repo, path, commit, lang, content) → sentence rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = f"{r.repo}/{r.path}@{r.commit}"
+                sha = content_sha(r.content or "")
+                rows.extend(
+                    _sentences_rows(doc_id, sha, r.lang, annotate_code(r.content or "", max_tokens))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES_SCHEMA.fields])
+
+    return repos.mapInPandas(fn, SENTENCES_SCHEMA)
+
+
+def tokenize_documents(documents: DataFrame, max_tokens: int = 100) -> DataFrame:
+    """documents(doc_id, text, lang, …) → sentence rows (whitespace mode)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                text = r.text or ""
+                rows.extend(
+                    _sentences_rows(
+                        str(r.doc_id),
+                        content_sha(text),
+                        getattr(r, "lang", None),
+                        annotate_text(text, max_tokens),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES_SCHEMA.fields])
+
+    return documents.mapInPandas(fn, SENTENCES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: prefilter
+# ---------------------------------------------------------------------------
+
+
+def combined_prefilter(extractors: Sequence[Extractor]):
+    """A sentence can match the grammar iff it can match *some* rule."""
+    return pf_or([prefilter_of(e.program) for e in extractors])
+
+
+def apply_prefilter(sentences: DataFrame, extractors: Sequence[Extractor]) -> DataFrame:
+    pf = combined_prefilter(extractors)
+    return sentences.filter(to_spark_column(pf))
+
+
+# ---------------------------------------------------------------------------
+# stage 3: match (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_LAYER_NAMES = ("raw", "word", "norm", "lemma", "tag", "chunk", "entity")
+
+
+def _fields_used(programs) -> set:
+    fields = set()
+
+    def walk_mask(e):
+        if isinstance(e, prog.LeafMask):
+            fields.add(e.field)
+        for attr in ("subs", "sub"):
+            v = getattr(e, attr, None)
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple)):
+                for x in v:
+                    walk_mask(x)
+            else:
+                walk_mask(v)
+
+    def walk_ft(ft):
+        if isinstance(ft, prog.SingleStepFT):
+            walk(ft.surface)
+        elif isinstance(ft, prog.ConcatFT):
+            for c in ft.clauses:
+                walk_ft(c)
+        elif isinstance(ft, prog.RepeatFT):
+            walk_ft(ft.sub)
+
+    def walk(p):
+        if p is None:
+            return
+        if isinstance(p, prog.PToken):
+            walk_mask(p.expr)
+        elif isinstance(p, prog.PEvent):
+            walk(p.trigger)
+            for a in list(p.required) + list(p.optional):
+                walk_ft(a.full_traversal)
+        elif isinstance(p, prog.PGraphTraversal):
+            walk(p.src)
+            walk_ft(p.full_traversal)
+        else:
+            for attr in ("sub", "main", "filter"):
+                v = getattr(p, attr, None)
+                if isinstance(v, prog.Prog):
+                    walk(v)
+            for c in getattr(p, "clauses", ()) or ():
+                walk(c)
+
+    for p in programs:
+        walk(p)
+    return fields
+
+
+def _uses_graph(programs) -> bool:
+    def walk(p) -> bool:
+        if isinstance(p, (prog.PGraphTraversal, prog.PEvent)):
+            return True
+        for attr in ("sub", "main", "filter"):
+            v = getattr(p, attr, None)
+            if isinstance(v, prog.Prog) and walk(v):
+                return True
+        for c in getattr(p, "clauses", ()) or ():
+            if walk(c):
+                return True
+        return False
+
+    return any(walk(p) for p in programs)
+
+
+def batch_from_pandas(pdf: pd.DataFrame, need_graph: bool, need_inout: bool) -> Tuple[SentenceBatch, list, list]:
+    n = len(pdf)
+    layers = {}
+    for name in _LAYER_NAMES:
+        if name in pdf.columns:
+            layers[name] = [list(x) if x is not None else None for x in pdf[name]]
+    num_tokens = [int(x) for x in pdf["num_tokens"]]
+    edges = None
+    if need_graph and "deps_src" in pdf.columns:
+        edges = []
+        for src, dst, lab in zip(pdf["deps_src"], pdf["deps_dst"], pdf["deps_label"]):
+            if src is None or len(src) == 0:
+                edges.append([])
+            else:
+                edges.append(list(zip((int(x) for x in src), (int(x) for x in dst), lab)))
+    if need_inout and edges is not None:
+        inc_col, out_col = [], []
+        for i in range(n):
+            inc = [[] for _ in range(num_tokens[i])]
+            out = [[] for _ in range(num_tokens[i])]
+            for (s, d, lab) in edges[i]:
+                if 0 <= s < num_tokens[i] and 0 <= d < num_tokens[i]:
+                    out[s].append(lab)
+                    inc[d].append(lab)
+            inc_col.append(inc)
+            out_col.append(out)
+        layers["incoming"] = inc_col
+        layers["outgoing"] = out_col
+    batch = SentenceBatch(layers=layers, num_tokens=num_tokens, edges=edges)
+    return batch, list(pdf["doc_id"]), [int(x) for x in pdf["sent_id"]]
+
+
+_MENTION_COLS = [f.name for f in MENTIONS_SCHEMA.fields]
+
+
+def required_columns(extractors: Sequence[Extractor]) -> List[str]:
+    programs = [e.program for e in extractors]
+    fields = _fields_used(programs) & set(_LAYER_NAMES)
+    cols = ["doc_id", "sent_id", "content_sha", "num_tokens", "raw"]
+    cols += sorted(fields - {"raw"})
+    if "norm" not in cols:
+        cols.append("norm")
+    if _uses_graph(programs) or _fields_used(programs) & {"incoming", "outgoing"}:
+        cols += ["deps_src", "deps_dst", "deps_label", "deps_roots"]
+    return cols
+
+
+def extract_mentions_df(
+    sentences: DataFrame,
+    extractors: Sequence[Extractor],
+    use_state: bool = False,
+    allow_trigger_overlaps: bool = False,
+    disable_match_selector: bool = False,
+    prune_columns: bool = True,
+) -> DataFrame:
+    """Run the grammar; one matcher pass per Arrow batch, no shuffle.
+
+    ``use_state=False`` runs the single-pass no-state path; ``use_state=True``
+    runs the full priority cascade *within each batch* (sentence-local state
+    is exact because reference state lookups are keyed by (doc, sentence) —
+    StateQuery.scala:14-142 reads mentions of the same sentence only)."""
+    programs = [e.program for e in extractors]
+    need_graph = _uses_graph(programs)
+    need_inout = bool(_fields_used(programs) & {"incoming", "outgoing"})
+    if prune_columns:
+        cols = [c for c in required_columns(extractors) if c in sentences.columns]
+        sentences = sentences.select(*cols)
+    spark = sentences.sparkSession
+    bc = spark.sparkContext.broadcast(list(extractors))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extrs = bc.value
+        runner = BatchExtractor(extrs)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch, doc_ids, sent_ids = batch_from_pandas(pdf, need_graph, need_inout)
+            raws = batch.raw_layers.get("raw") or batch.raw_layers.get("word")
+            if use_state:
+                mentions = runner.extract_mentions(
+                    batch, doc_ids, sent_ids, allow_trigger_overlaps, disable_match_selector
+                )
+            else:
+                mentions = runner.extract_no_state(
+                    batch, doc_ids, sent_ids, allow_trigger_overlaps, disable_match_selector
+                )
+            shas = list(pdf["content_sha"]) if "content_sha" in pdf.columns else [None] * len(pdf)
+            sha_by_key = {
+                (doc_ids[i], sent_ids[i]): shas[i] for i in range(len(doc_ids))
+            }
+            idx_by_key = {(doc_ids[i], sent_ids[i]): i for i in range(len(doc_ids))}
+            rows = []
+            for m in mentions:
+                i = idx_by_key[(m.doc_id, m.sent_id)]
+                toks = raws[i]
+                from ..match.matches import EventMatch
+
+                is_event = isinstance(m.match, EventMatch)
+                caps = []
+                if is_event:
+                    for c in m.match.captures:
+                        caps.append(
+                            {
+                                "name": c.name,
+                                "label": c.label,
+                                "start": c.match.start,
+                                "end": c.match.end,
+                                "text": " ".join(toks[c.match.start : c.match.end]),
+                            }
+                        )
+                    trig = (m.match.trigger.start, m.match.trigger.end)
+                else:
+                    for c in m.match.named_captures():
+                        caps.append(
+                            {
+                                "name": c.name,
+                                "label": c.label,
+                                "start": c.match.start,
+                                "end": c.match.end,
+                                "text": " ".join(toks[c.match.start : c.match.end]),
+                            }
+                        )
+                    trig = (None, None)
+                rows.append(
+                    {
+                        "doc_id": m.doc_id,
+                        "sent_id": m.sent_id,
+                        "content_sha": sha_by_key[(m.doc_id, m.sent_id)],
+                        "label": m.label,
+                        "found_by": m.found_by,
+                        "start": m.start,
+                        "end": m.end,
+                        "text": " ".join(toks[m.start : m.end]),
+                        "is_event": is_event,
+                        "trigger_start": trig[0],
+                        "trigger_end": trig[1],
+                        "captures": caps,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+
+    return sentences.mapInPandas(fn, MENTIONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: triples (pure DataFrame ops — no Python)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SUBJ_ROLES = ("subject", "subj", "agent", "cause", "hypernym", "src", "caller")
+DEFAULT_OBJ_ROLES = ("object", "obj", "patient", "theme", "effect", "hyponym", "dst", "callee")
+
+
+def triples_from_mentions(
+    mentions: DataFrame,
+    subj_roles: Sequence[str] = DEFAULT_SUBJ_ROLES,
+    obj_roles: Sequence[str] = DEFAULT_OBJ_ROLES,
+) -> DataFrame:
+    """(subj, pred, obj) rows from mention captures, entirely in Catalyst.
+
+    Role resolution: captures whose name is a known subject/object role pair
+    up; otherwise the first two captures (pattern order) form the triple."""
+    m = mentions.filter(F.size("captures") >= 2)
+    subj_arr = F.filter("captures", lambda c: c["name"].isin(*subj_roles))
+    obj_arr = F.filter("captures", lambda c: c["name"].isin(*obj_roles))
+    has_roles = (F.size(subj_arr) > 0) & (F.size(obj_arr) > 0)
+    subj_arr = F.when(has_roles, subj_arr).otherwise(F.slice("captures", 1, 1))
+    obj_arr = F.when(has_roles, obj_arr).otherwise(F.slice("captures", 2, 1))
+    # for events the mention span IS the trigger span (EventMatch start/end
+    # delegate to the trigger), so `text` is the trigger text
+    pred = F.coalesce(
+        F.col("label"),
+        F.when(F.col("is_event"), F.col("text")),
+        F.col("found_by"),
+    )
+    exploded = (
+        m.withColumn("_subj", F.explode(subj_arr))
+        .withColumn("_obj", F.explode(obj_arr))
+        .filter(F.col("_subj") != F.col("_obj"))
+    )
+    return exploded.select(
+        "doc_id",
+        "sent_id",
+        "content_sha",
+        F.col("found_by").alias("rule"),
+        "label",
+        F.col("_subj.name").alias("subj_role"),
+        F.col("_subj.start").alias("subj_start"),
+        F.col("_subj.end").alias("subj_end"),
+        F.col("_subj.text").alias("subj_text"),
+        pred.alias("pred"),
+        F.col("_obj.name").alias("obj_role"),
+        F.col("_obj.start").alias("obj_start"),
+        F.col("_obj.end").alias("obj_end"),
+        F.col("_obj.text").alias("obj_text"),
+    )

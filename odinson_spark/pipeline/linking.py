@@ -1,0 +1,177 @@
+"""Entity linking: MinHash-LSH blocking + candidate-pair scoring.
+
+No reference counterpart (Odinson stops at mentions); required by the
+pipeline's north rule. Design:
+
+1. **Signatures** (narrow): per distinct mention surface, k-shingle the
+   normalized string, hash each shingle to a 60-bit integer via md5 (stable
+   across Python/SQL/JVM — the DuckDB oracle reproduces it bit-for-bit),
+   then n_hashes universal-hash permutations ``(a*h + b) mod p`` with
+   p = 2^61-1. Arrow-batched pandas stage, no shuffle.
+2. **Banding** (one shuffle): split the signature into bands, group by
+   (band_idx, band_hash); surfaces sharing a band bucket are candidates.
+   This is the standard LSH trade: P(candidate) ≈ 1-(1-s^r)^b.
+3. **Scoring** (narrow after the self-join): exact Jaccard over shingle sets
+   for candidate pairs, keep pairs ≥ threshold.
+
+Scale notes: the groupBy key is (band_idx, band_hash) — high cardinality, no
+hot keys by construction (hash-distributed); bucket blowup from degenerate
+surfaces (e.g. empty strings) is capped via ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MERSENNE_P = (1 << 61) - 1
+_HASH_BITS_HEX = 15  # 60 bits from md5 hex
+
+
+def _hash_params(n_hashes: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
+    b = rng.randint(0, MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
+    return a, b
+
+
+def shingles(s: str, k: int = 3) -> List[str]:
+    s = " " + s.lower() + " "
+    if len(s) <= k:
+        return [s]
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def shingle_hash(sh: str) -> int:
+    return int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:_HASH_BITS_HEX], 16)
+
+
+def minhash_signature(s: str, n_hashes: int, k: int, a, b) -> List[int]:
+    hs = np.array(sorted({shingle_hash(x) for x in shingles(s, k)}), dtype=object)
+    sig = []
+    for i in range(n_hashes):
+        sig.append(int(((a[i] * hs + b[i]) % MERSENNE_P).min()))
+    return sig
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    a, b = _hash_params(n_hashes, seed)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, ArrayType(LongType()))])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                minhash_signature(s or "", n_hashes, k, a, b) for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sig = add_minhash(df.select(id_col, text_col), text_col, n_hashes, k, seed)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("minhash", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x: F.transform("ids", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    return pairs
+
+
+def score_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Join strategy: surfaces table is the small side post-dedup → broadcast
+    when it fits, else AQE decides."""
+    surf = df.select(F.col(id_col).alias("_sid"), F.col(text_col).alias("_stext"))
+    joined = (
+        pairs.join(surf.withColumnRenamed("_sid", "id_a").withColumnRenamed("_stext", "text_a"), "id_a")
+        .join(surf.withColumnRenamed("_sid", "id_b").withColumnRenamed("_stext", "text_b"), "id_b")
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", joined.schema["id_a"].dataType),
+            StructField("id_b", joined.schema["id_b"].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa = set(shingles((ta or "").lower(), k))
+                sb = set(shingles((tb or "").lower(), k))
+                inter = len(sa & sb)
+                union = len(sa | sb) or 1
+                scores.append(inter / union)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["score"] = scores
+            yield out
+
+    scored = joined.mapInPandas(fn, out_schema)
+    return scored.filter(F.col("score") >= threshold)
