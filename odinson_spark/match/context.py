@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 
 from ..lang import ast
 from ..lang.normalize import normalize_unicode, normalize_unicode_aggressively
@@ -52,8 +53,6 @@ class _FactorizedMultiField:
 
 
 def _factorize(values: List[str]):
-    import pandas as pd
-
     codes, uniques = pd.factorize(np.asarray(values, dtype=object), use_na_sentinel=False)
     return codes.astype(np.int32), list(uniques)
 

@@ -146,9 +146,19 @@ class Prog:
     def gen(self, ctx: SentenceContext, start: int):
         raise NotImplementedError
 
+    def start_positions(self, ctx: SentenceContext):
+        """A SUPERSET of positions where ``gen`` can yield, or None for "all".
+        This is the engine's analogue of Lucene's postings-driven skipping:
+        term-anchored patterns only attempt starts where the anchor's mask
+        fires, instead of every token position."""
+        return None
+
     def all_matches(self, ctx: SentenceContext) -> List[BaseMatch]:
+        starts = self.start_positions(ctx)
+        if starts is None:
+            starts = range(ctx.n + 1)
         out: List[BaseMatch] = []
-        for start in range(ctx.n + 1):
+        for start in starts:
             out.extend(self.gen(ctx, start))
         return out
 
@@ -170,6 +180,9 @@ class PToken(Prog):
     def gen(self, ctx, start):
         if start < ctx.n and self.expr.mask(ctx)[start]:
             yield NGramMatch(start, start + 1)
+
+    def start_positions(self, ctx):
+        return np.nonzero(self.expr.mask(ctx))[0].tolist()
 
 
 class PAllNGrams(Prog):
@@ -212,6 +225,9 @@ class PConcat(Prog):
 
         yield from rec(0, start, [])
 
+    def start_positions(self, ctx):
+        return self.clauses[0].start_positions(ctx)
+
 
 class POr(Prog):
     __slots__ = ("uid", "clauses")
@@ -224,6 +240,15 @@ class POr(Prog):
         for i, c in enumerate(self.clauses):
             for m in c.gen(ctx, start):
                 yield OrMatch(m, i)
+
+    def start_positions(self, ctx):
+        acc = set()
+        for c in self.clauses:
+            s = c.start_positions(ctx)
+            if s is None:
+                return None
+            acc.update(s)
+        return sorted(acc)
 
 
 class PRepeat(Prog):
@@ -269,6 +294,9 @@ class PRepeat(Prog):
 
         yield from rec(start, [])
 
+    def start_positions(self, ctx):
+        return self.sub.start_positions(ctx)
+
 
 class POptional(Prog):
     """Zero-or-one; both branches are wrapped in OptionalMatch so the
@@ -308,17 +336,26 @@ class PNamedCapture(Prog):
         for m in self.sub.gen(ctx, start):
             yield NamedMatch(m, self.name, self.label)
 
+    def start_positions(self, ctx):
+        return self.sub.start_positions(ctx)
+
 
 class PSentenceStart(Prog):
     def gen(self, ctx, start):
         if start == 0:
             yield NGramMatch(0, 0)
 
+    def start_positions(self, ctx):
+        return (0,)
+
 
 class PSentenceEnd(Prog):
     def gen(self, ctx, start):
         if start == ctx.n:
             yield NGramMatch(start, start)
+
+    def start_positions(self, ctx):
+        return (ctx.n,)
 
 
 class PLookahead(Prog):
@@ -335,6 +372,9 @@ class PLookahead(Prog):
         found = next(iter(self.sub.gen(ctx, start)), None) is not None
         if found == self.positive:
             yield NGramMatch(start, start)
+
+    def start_positions(self, ctx):
+        return self.sub.start_positions(ctx) if self.positive else None
 
 
 class PLookbehind(Prog):
@@ -409,6 +449,9 @@ class PFilter(Prog):
                 if f.start >= m.start and f.end <= m.end:
                     yield m
                     break
+
+    def start_positions(self, ctx):
+        return self.main.start_positions(ctx)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,338 @@
+"""Deduplication operators over a documents table.
+
+Every operator here is defined so a plain-SQL oracle can reproduce it
+bit-for-bit (hashes are md5-derived, arithmetic is integer): that is what
+the correctness gate checks. Scale notes are per-operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from ..pipeline.linking import MERSENNE_P, _hash_params, add_minhash
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy. One shuffle on the hash; at 100 TB this is the
+# cheapest possible dedup (map-side partial aggregation applies).
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: word-trigram inverted join. All JVM-side (transform/
+# sequence/explode); the shuffle key is the trigram string. Hot trigrams are
+# the skew risk at scale → cap posting-list length (common-shingle drop),
+# standard practice for shingle joins.
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_postings: int = 10000,
+) -> DataFrame:
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    gram_array = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gram_array).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    postings = grams.groupBy("gram").agg(F.collect_list("doc_id").alias("docs")).filter(
+        (F.size("docs") > 1) & (F.size("docs") <= max_postings)
+    )
+    co = (
+        postings.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda x: F.transform(
+                                "docs", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # jaccard as exact integer fixed-point (×10⁶): float division rounds
+    # differently across engines at decimal ties; integer DIV is exact
+    thr_e6 = int(threshold * 1_000_000)
+    out = (
+        co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "grams_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "grams_b"), "doc_b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr(
+                "CAST(n_common AS BIGINT) * 1000000 DIV (grams_a + grams_b - n_common)"
+            ),
+        )
+        .filter(F.col("jaccard_e6") >= thr_e6)
+        .select("doc_a", "doc_b", "n_common", "jaccard_e6")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup candidates (char-3-gram Jaccard sketch).
+# One narrow signature stage + one shuffle on (band, band_key).
+# Band keys are the literal signature values (joined as strings) so the SQL
+# oracle reproduces buckets exactly.
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 2,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = add_minhash(
+        documents.select("doc_id", "text"), "text", n_hashes=n_hashes, k=k, seed=seed
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice("minhash", i * r + 1, r), lambda x: x.cast("string")
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    n_hashes: int = 16,
+    bands: int = 2,
+    k: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL computing the identical candidate-pair set."""
+    a, b = _hash_params(n_hashes, seed)
+    r = n_hashes // bands
+    values = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+    return f"""
+WITH params(k, a, b) AS (VALUES {values}),
+docs AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM {table}),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i::INT, {k}) AS s FROM idx
+),
+hv AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::UBIGINT::HUGEINT AS h FROM sh),
+sig AS (
+  SELECT doc_id, k, min((a::HUGEINT * h + b) % {MERSENNE_P}) AS mh
+  FROM hv, params GROUP BY doc_id, k
+),
+bandkeys AS (
+  SELECT doc_id, k // {r} AS band,
+         string_agg(mh::VARCHAR, '-' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, k // {r}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bandkeys x JOIN bandkeys y
+  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit signature; hamming-close signatures ≈ near-dups.
+# Narrow stage (pandas UDF), signatures then group/join cheaply.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+def _simhash(text: str) -> int:
+    sums = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+    toks = text.split()
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    for tok, cnt in zip(uniq, counts):
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        for j in range(_SIMHASH_BITS):
+            sums[j] += cnt if (h >> j) & 1 else -cnt
+    out = 0
+    for j in range(_SIMHASH_BITS):
+        if sums[j] > 0:
+            out |= 1 << j
+    return out
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("doc_id", documents.schema["doc_id"].dataType),
+            StructField("simhash", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["simhash"] = [_simhash(t or "") for t in pdf["text"]]
+            yield out
+
+    return documents.select("doc_id", "text").mapInPandas(fn, schema)
+
+
+SIMHASH_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::UBIGINT AS hv FROM toks
+),
+bits AS (
+  SELECT doc_id, g.b AS b,
+         sum(CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, LATERAL generate_series(0, {_SIMHASH_BITS - 1}) g(b)
+  GROUP BY doc_id, g.b
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs — brute force (the oracle-checkable
+# baseline; the scale path is the LSH/IVF variant in ops/similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def _cosine_col(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (na * nb)
+
+
+def _cosine_pandas_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in va]) if len(va) else np.zeros((0, 1))
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb]) if len(vb) else np.zeros((0, 1))
+        dots = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(dots / (na * nb))
+
+    return cos
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Brute-force pairwise cosine ≥ threshold.
+
+    Implementation is a broadcast block-nested-loop done in numpy: the whole
+    (id, vector) matrix is broadcast once (O(n) transfer), each task matmuls
+    its probe block against it, and only surviving pairs leave the worker.
+    A pair-materializing join would move O(n²) vector copies through the
+    shuffle/Arrow layer — 100× more bytes than the surviving pairs.
+
+    Guard: refuses above ``max_broadcast_rows`` (at that scale use
+    minhash/LSH blocking or :func:`odinson_spark.ops.similarity.lsh_ann_topk`
+    — brute force is the correctness baseline, not the scale path)."""
+    spark = embeddings.sparkSession
+    n_rows = embeddings.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"{n_rows} vectors exceeds brute-force broadcast limit; use LSH blocking"
+        )
+    pdf_all = embeddings.select("vec_id", "embedding").toPandas()
+    ids_all = pdf_all["vec_id"].to_numpy()
+    mat_all = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all["embedding"]])
+    norms_all = np.sqrt(np.einsum("ij,ij->i", mat_all, mat_all))
+    bc = spark.sparkContext.broadcast((ids_all, mat_all, norms_all))
+
+    schema = StructType(
+        [
+            StructField("vec_a", embeddings.schema["vec_id"].dataType),
+            StructField("vec_b", embeddings.schema["vec_id"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            sims = np.round(sims, 4)
+            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ii],
+                    "vec_b": b_ids[jj],
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(fn, schema)
+    )
