@@ -69,8 +69,19 @@ def _sentences_rows(doc_id, sha, lang, sentences) -> Iterator[dict]:
         }
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as one parquet split; the Python annotate/
+    match stages scale with partition count, so widen to the session's
+    parallelism. On a real corpus (thousands of splits) this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
     """repos(repo, path, commit, lang, content) → sentence rows."""
+    repos = _fan_out(repos)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,6 +99,7 @@ def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
 
 def tokenize_documents(documents: DataFrame, max_tokens: int = 100) -> DataFrame:
     """documents(doc_id, text, lang, …) → sentence rows (whitespace mode)."""
+    documents = _fan_out(documents)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,171 @@
+"""Spark tests: training-data ops, KG stages (linking, components,
+materialize), sources, checkpointing, streaming."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from odinson_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from odinson_spark.ops.similarity import cosine_topk, lsh_ann_topk
+from odinson_spark.pipeline.components import connected_components
+from odinson_spark.pipeline.checkpoint import CheckpointedPipeline
+from odinson_spark.pipeline.linking import lsh_candidate_pairs, score_pairs
+from odinson_spark.pipeline.materialize import build_graph
+from odinson_spark.sources.document_json import read_document_json, doc_to_sentences
+from odinson_spark.ops.multimodal import decode_media
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = {r.text_hash: r for r in exact_dup_groups(docs).collect()}
+    assert sorted(r.n_docs for r in rows.values()) == [1, 2]
+    dup = next(r for r in rows.values() if r.n_docs == 2)
+    assert dup.keep_doc_id == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " ok"),   # near-dup of 1
+            (3, "completely different content about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ham12 = bin(sig[1] ^ sig[2]).count("1")
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_connected_components(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
+    assert comp[4] == comp[5] == 4
+
+
+def test_lsh_linking_pairs(spark):
+    surfaces = spark.createDataFrame(
+        [
+            (1, "deep learning model"),
+            (2, "deep learning models"),
+            (3, "quantum flux capacitor"),
+        ],
+        "node_id long, surface string",
+    )
+    pairs = lsh_candidate_pairs(surfaces, "node_id", "surface")
+    scored = score_pairs(pairs, surfaces, "node_id", "surface", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in scored.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_build_graph_canonicalizes(spark):
+    triples = spark.createDataFrame(
+        [
+            ("d1", 0, "sha", "r", "Rel", "s", 0, 1, "deep learning model", "Rel", "o", 2, 3, "gpu"),
+            ("d2", 0, "sha", "r", "Rel", "s", 0, 1, "deep learning models", "Rel", "o", 2, 3, "tpu"),
+        ],
+        """doc_id string, sent_id int, content_sha string, rule string, label string,
+           subj_role string, subj_start int, subj_end int, subj_text string,
+           pred string, obj_role string, obj_start int, obj_end int, obj_text string""",
+    )
+    nodes, edges = build_graph(triples, link_threshold=0.5)
+    n = nodes.collect()
+    # the two near-identical subject surfaces share a canonical id
+    canon = {r.surface: r.canonical_id for r in n}
+    assert canon["deep learning model"] == canon["deep learning models"]
+    assert edges.count() == 2
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    cp = CheckpointedPipeline(spark, str(tmp_path))
+    calls = []
+
+    def stage1():
+        calls.append(1)
+        return spark.range(5)
+
+    df1 = cp.stage("s1", stage1)
+    df2 = cp.stage("s1", stage1)  # second call must load, not recompute
+    assert calls == [1]
+    assert df1.count() == df2.count() == 5
+
+
+def test_document_json_source(spark, tmp_path, example_docs):
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for key in ("becky-gummy-bears", "alien-species"):
+            f.write(json.dumps(example_docs[key]) + "\n")
+    sents = read_document_json(spark, str(p))
+    rows = sents.collect()
+    assert len(rows) == 2
+    becky = next(r for r in rows if r.raw[0] == "Becky")
+    assert becky.tag[0] == "NNP"
+    assert "nsubj" in becky.deps_label
+
+
+def test_doc_to_sentences_drops_overlong(example_docs):
+    doc = {"id": "x", "sentences": [{"fields": [
+        {"$type": "ai.lum.odinson.TokensField", "name": "raw", "tokens": ["a"] * 200}
+    ]}]}
+    assert doc_to_sentences(doc, max_tokens=100) == []
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(80, 16)).astype(float)
+    rows = [(i, vecs[i].tolist(), 0) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    exact = cosine_topk(emb, emb.filter("vec_id < 5"), k=3).collect()
+    assert len(exact) == 15
+    approx = lsh_ann_topk(emb, k=3, dim=16, n_planes=4).collect()
+    # recall of approx vs exact for the shared queries
+    ex = {(r.query_id, r.nbr_id) for r in exact}
+    ap = {(r.query_id, r.nbr_id) for r in approx if r.query_id < 5}
+    assert len(ex & ap) / len(ex) >= 0.3  # loose: 4 planes, tiny corpus
+
+
+def test_decode_media_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image")
+    f = decode_media(b"bytes", "image", fake=True)
+    assert len(f) == 4 and all(0.0 <= x <= 1.0 for x in f)
+
+
+def test_embedding_cosine_guard(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        embedding_cosine_pairs(emb, max_broadcast_rows=5)
