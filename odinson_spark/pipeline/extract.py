@@ -73,6 +73,8 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as one parquet split; the Python annotate/
     match stages scale with partition count, so widen to the session's
     parallelism. On a real corpus (thousands of splits) this is a no-op."""
+    if df.isStreaming:
+        return df  # micro-batch sizing is the trigger's job
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

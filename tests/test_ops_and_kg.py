@@ -144,7 +144,12 @@ def test_cosine_topk_and_lsh_recall(spark):
     import numpy as np
 
     rng = np.random.RandomState(0)
-    vecs = rng.normal(size=(80, 16)).astype(float)
+    # clustered vectors: true neighbors are near-parallel, so hyperplane LSH
+    # recall is meaningfully testable (random gaussians would not be)
+    centers = rng.normal(size=(8, 16))
+    vecs = np.vstack(
+        [centers[i % 8] + 0.05 * rng.normal(size=16) for i in range(80)]
+    )
     rows = [(i, vecs[i].tolist(), 0) for i in range(80)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     exact = cosine_topk(emb, emb.filter("vec_id < 5"), k=3).collect()
@@ -153,7 +158,7 @@ def test_cosine_topk_and_lsh_recall(spark):
     # recall of approx vs exact for the shared queries
     ex = {(r.query_id, r.nbr_id) for r in exact}
     ap = {(r.query_id, r.nbr_id) for r in approx if r.query_id < 5}
-    assert len(ex & ap) / len(ex) >= 0.3  # loose: 4 planes, tiny corpus
+    assert len(ex & ap) / len(ex) >= 0.5
 
 
 def test_decode_media_stub():
