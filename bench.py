@@ -36,20 +36,21 @@ BENCH_QUERIES = [
 ]
 
 
-def run_kg_pipeline(spark, sf_dir: str) -> int:
+def run_kg_pipeline(spark, sf_dir: str, replicate: int = 1) -> int:
+    """Fused one-shot extraction (annotate+match in one narrow Python stage;
+    text-level prefilter pushed to the scan) → triples."""
     from odinson_spark.lang.rules import RuleReader
-    from odinson_spark.pipeline.extract import (
-        apply_prefilter,
-        extract_mentions_df,
-        tokenize_documents,
-        triples_from_mentions,
-    )
+    from odinson_spark.pipeline.extract import triples_from_mentions
+    from odinson_spark.pipeline.oneshot import extract_one_shot
     import __spark_entry__ as entrymod
 
     extractors, _ = RuleReader().compile_rules(entrymod.EVENT_GRAMMAR)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sents = apply_prefilter(tokenize_documents(docs), extractors)
-    triples = triples_from_mentions(extract_mentions_df(sents, extractors))
+    if replicate > 1:
+        base = docs
+        for _ in range(replicate - 1):
+            docs = docs.unionByName(base)
+    triples = triples_from_mentions(extract_one_shot(docs, extractors))
     return triples.count()
 
 

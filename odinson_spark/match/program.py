@@ -496,6 +496,18 @@ class SingleStepFT(FullTraversalProg):
         graph = ctx.graph
         if graph is None:
             return []
+        # fast path: width-1 wildcard destination (the shape every
+        # `arg = >edge` promoted argument desugars to) — reached tokens ARE
+        # the destinations, no inverted index needed
+        if isinstance(self.surface, PAllNGrams) and self.surface.n == 1:
+            vocab = ctx.label_vocab
+            out = []
+            for src in src_matches:
+                tokens = list(range(src.start, src.end))
+                for t in traverse(self.traversal, graph, vocab, tokens):
+                    if 0 <= t < ctx.n:
+                        out.append(GraphTraversalMatch(src, NGramMatch(t, t + 1)))
+            return out
         dst_matches = ctx.node_cache.get(self.uid)
         if dst_matches is None:
             dst_matches = self.surface.all_matches(ctx)

@@ -75,6 +75,8 @@ def _fan_out(df: DataFrame) -> DataFrame:
     parallelism. On a real corpus (thousands of splits) this is a no-op."""
     if df.isStreaming:
         return df  # micro-batch sizing is the trigger's job
+    # one wave of core-count tasks measured fastest on local[*]; finer tasks
+    # add per-task Arrow/scheduling overhead without helping balance here
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

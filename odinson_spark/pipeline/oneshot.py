@@ -1,0 +1,159 @@
+"""Fused one-shot extraction: documents → mentions in a single narrow stage.
+
+The staged path (tokenize → sentence table → match) is right when the
+annotated corpus is materialized once and queried many times (the
+index-then-search shape of the reference). For one-shot jobs it pays the
+Arrow round-trip of fat sentence rows (all token layers) twice. This fused
+stage annotates AND matches inside one ``mapInPandas`` pass, so only raw
+text enters Python and only (small) mention rows leave.
+
+The rule prefilter is applied at the *text* level before the UDF:
+a required term over a text-derived layer implies a substring hit, which
+Catalyst pushes into the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lang.rules import Extractor
+from ..match.extractor import BatchExtractor
+from ..plans import prefilter as pfmod
+from ..schema import MENTIONS_SCHEMA
+from ..testing import sentence_batch_from_docs
+from ..tokenizer.code_tokenizer import annotate_code, annotate_text, content_sha
+from .extract import _MENTION_COLS, _fan_out, _fields_used
+
+# layers derivable from the raw text by the deterministic annotators — a term
+# constraint on these implies a substring occurrence in `text`
+_TEXT_DERIVED_FIELDS = ("raw", "word", "norm", "lemma")
+
+
+def text_prefilter_column(pf) -> "F.Column":
+    """Render a rule prefilter as a predicate over the raw `text` column.
+    Sound (never drops a matchable doc): term constraints on text-derived
+    layers become case-insensitive substring tests; anything else → TRUE."""
+    if isinstance(pf, pfmod.PFTrue):
+        return F.lit(True)
+    if isinstance(pf, pfmod.PFFalse):
+        return F.lit(False)
+    if isinstance(pf, pfmod.PFTerm):
+        if pf.field in _TEXT_DERIVED_FIELDS and pf.value.isascii() and pf.value.isalnum():
+            return F.lower(F.col("text")).contains(pf.value.lower())
+        return F.lit(True)
+    if isinstance(pf, pfmod.PFEdge):
+        return F.lit(True)
+    if isinstance(pf, pfmod.PFAnd):
+        col = text_prefilter_column(pf.subs[0])
+        for s in pf.subs[1:]:
+            col = col & text_prefilter_column(s)
+        return col
+    if isinstance(pf, pfmod.PFOr):
+        col = text_prefilter_column(pf.subs[0])
+        for s in pf.subs[1:]:
+            col = col | text_prefilter_column(s)
+        return col
+    raise TypeError(f"unknown prefilter {pf!r}")
+
+
+def extract_one_shot(
+    documents: DataFrame,
+    extractors: Sequence[Extractor],
+    mode: str = "text",
+    use_state: bool = False,
+    max_tokens: int = 100,
+    apply_text_prefilter: bool = True,
+) -> DataFrame:
+    """documents(doc_id, text[, …]) or repos(repo, path, commit, lang,
+    content) → mentions DataFrame, one fused Python stage."""
+    annotate = annotate_text if mode == "text" else annotate_code
+    is_repos = mode == "code" and "content" in documents.columns
+
+    if apply_text_prefilter and not is_repos:
+        pf = pfmod.pf_or([pfmod.prefilter_of(e.program) for e in extractors])
+        documents = documents.filter(text_prefilter_column(pf))
+
+    documents = _fan_out(documents)
+    spark = documents.sparkSession
+    bc = spark.sparkContext.broadcast(list(extractors))
+    need_inout = bool(
+        _fields_used([e.program for e in extractors]) & {"incoming", "outgoing"}
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..match.matches import EventMatch
+
+        runner = BatchExtractor(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sents: List[dict] = []
+            doc_ids: List[str] = []
+            sent_ids: List[int] = []
+            shas: List[str] = []
+            if is_repos:
+                it = (
+                    (f"{r.repo}/{r.path}@{r.commit}", r.content or "")
+                    for r in pdf.itertuples(index=False)
+                )
+            else:
+                it = ((str(d), t or "") for d, t in zip(pdf["doc_id"], pdf["text"]))
+            for doc_id, text in it:
+                sha = content_sha(text)
+                for s in annotate(text, max_tokens):
+                    sents.append(s)
+                    doc_ids.append(doc_id)
+                    sent_ids.append(s["sent_id"])
+                    shas.append(sha)
+            if not sents:
+                continue
+            batch = sentence_batch_from_docs(sents, build_inout=need_inout)
+            if use_state:
+                mentions = runner.extract_mentions(batch, doc_ids, sent_ids)
+            else:
+                mentions = runner.extract_no_state(batch, doc_ids, sent_ids)
+            idx = {(doc_ids[i], sent_ids[i]): i for i in range(len(doc_ids))}
+            rows = []
+            for m in mentions:
+                i = idx[(m.doc_id, m.sent_id)]
+                toks = batch.raw_layers["raw"][i]
+                is_event = isinstance(m.match, EventMatch)
+                caps = [
+                    {
+                        "name": c.name,
+                        "label": c.label,
+                        "start": c.match.start,
+                        "end": c.match.end,
+                        "text": " ".join(toks[c.match.start : c.match.end]),
+                    }
+                    for c in (
+                        m.match.captures if is_event else m.match.named_captures()
+                    )
+                ]
+                rows.append(
+                    {
+                        "doc_id": m.doc_id,
+                        "sent_id": m.sent_id,
+                        "content_sha": shas[i],
+                        "label": m.label,
+                        "found_by": m.found_by,
+                        "start": m.start,
+                        "end": m.end,
+                        "text": " ".join(toks[m.start : m.end]),
+                        "is_event": is_event,
+                        "trigger_start": m.match.trigger.start if is_event else None,
+                        "trigger_end": m.match.trigger.end if is_event else None,
+                        "captures": caps,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+
+    cols = ["doc_id", "text"] if not is_repos else ["repo", "path", "commit", "content"]
+    return documents.select(*[c for c in cols if c in documents.columns]).mapInPandas(
+        fn, MENTIONS_SCHEMA
+    )

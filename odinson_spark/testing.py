@@ -23,13 +23,19 @@ def sentence_batch_from_texts(texts: Sequence[str]) -> SentenceBatch:
     )
 
 
-def sentence_batch_from_docs(sentences: List[dict]) -> SentenceBatch:
+def sentence_batch_from_docs(
+    sentences: List[dict], build_inout: bool = True
+) -> SentenceBatch:
     """Build a batch from annotated-sentence dicts with keys:
     ``raw word lemma tag chunk entity`` (token lists), ``edges`` (list of
     (src, dst, label)), ``roots`` (list of int), ``mentions``
-    (dict label -> [(start, end), …])."""
+    (dict label -> [(start, end), …]). ``build_inout=False`` skips the
+    per-token incoming/outgoing label lists (only needed when a pattern
+    queries those fields)."""
     n = len(sentences)
-    layer_names = ("raw", "word", "lemma", "tag", "chunk", "entity", "incoming", "outgoing")
+    layer_names = ("raw", "word", "lemma", "tag", "chunk", "entity")
+    if build_inout:
+        layer_names = layer_names + ("incoming", "outgoing")
     layers: Dict[str, list] = {k: [] for k in layer_names}
     layers["norm"] = []
     num_tokens = []
@@ -52,15 +58,16 @@ def sentence_batch_from_docs(sentences: List[dict]) -> SentenceBatch:
         edges.append(e)
         roots.append(s.get("roots") or [])
         mentions.append(s.get("mentions") or {})
-        # derived per-token incoming/outgoing label lists
-        inc = [[] for _ in raw]
-        out = [[] for _ in raw]
-        for (src, dst, lab) in e:
-            if 0 <= src < len(raw) and 0 <= dst < len(raw):
-                out[src].append(lab)
-                inc[dst].append(lab)
-        layers["incoming"].append(inc)
-        layers["outgoing"].append(out)
+        if build_inout:
+            # derived per-token incoming/outgoing label lists
+            inc = [[] for _ in raw]
+            out = [[] for _ in raw]
+            for (src, dst, lab) in e:
+                if 0 <= src < len(raw) and 0 <= dst < len(raw):
+                    out[src].append(lab)
+                    inc[dst].append(lab)
+            layers["incoming"].append(inc)
+            layers["outgoing"].append(out)
     return SentenceBatch(
         layers=layers,
         num_tokens=num_tokens,
