@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+the executed plan, not just intended."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from odinson_spark.lang.rules import RuleReader
+from odinson_spark.pipeline.extract import (
+    apply_prefilter,
+    extract_mentions_df,
+    required_columns,
+    tokenize_documents,
+)
+from odinson_spark.pipeline.oneshot import extract_one_shot, text_prefilter_column
+from odinson_spark.plans.prefilter import (
+    PFAnd,
+    PFEdge,
+    PFTerm,
+    prefilter_of,
+    to_sql,
+    to_spark_column,
+)
+
+
+def _grammar(pattern):
+    g = f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
+    extractors, _ = RuleReader().compile_rules(g)
+    return extractors
+
+
+def test_prefilter_extraction_shapes():
+    (e,) = _grammar("fast table")
+    pf = prefilter_of(e.program)
+    assert pf == PFAnd((PFTerm("norm", "fast"), PFTerm("norm", "table")))
+    (e,) = _grammar("[word=cats] >conj_and [tag=/N.*/]")
+    pf = prefilter_of(e.program)
+    # src term AND the traversal's edge label; regex dst is unconstrained
+    assert PFTerm("word", "cats") in pf.subs and PFEdge("conj_and") in pf.subs
+
+
+def test_prefilter_soundness_optional_is_true():
+    (e,) = _grammar("fast? table")
+    pf = prefilter_of(e.program)
+    # optional clause must not constrain; required clause must
+    assert pf == PFTerm("norm", "table")
+
+
+def test_prefilter_pushed_into_scan(spark, tmp_path):
+    # write a real parquet so the scan shows PushedFilters; prefilter columns
+    # must reach the FileScan, and the matcher stage must come after
+    docs = spark.createDataFrame(
+        [(1, "fast table now", "en"), (2, "nothing here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "sents")
+    tokenize_documents(docs).write.parquet(p)
+    sents = spark.read.parquet(p)
+    extractors = _grammar("fast table")
+    filtered = apply_prefilter(sents, extractors)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "array_contains" in plan
+    assert filtered.count() == 1
+
+
+def test_column_pruning_for_matcher():
+    extractors = _grammar("[word=cats] [tag=NN]")
+    cols = required_columns(extractors)
+    assert "word" in cols and "tag" in cols
+    assert "chunk" not in cols and "entity" not in cols and "lemma" not in cols
+    # no graph operators -> no deps columns
+    assert not any(c.startswith("deps_") for c in cols)
+
+
+def test_text_prefilter_column_sql():
+    (e,) = _grammar("fast table")
+    pf = prefilter_of(e.program)
+    col = text_prefilter_column(pf)
+    s = str(col._jc)
+    assert "fast" in s and "table" in s
+
+
+def test_fused_equals_staged(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha join beta gamma", "en"), (2, "join alone", "en")],
+        "doc_id long, text string, lang string",
+    )
+    import __spark_entry__ as em
+
+    extractors, _ = RuleReader().compile_rules(em.EVENT_GRAMMAR)
+    staged = extract_mentions_df(
+        apply_prefilter(tokenize_documents(docs), extractors), extractors
+    )
+    fused = extract_one_shot(docs, extractors)
+    key = lambda r: (r.doc_id, r.sent_id, r.start, r.end, r.found_by)
+    assert sorted(map(key, staged.collect())) == sorted(map(key, fused.collect()))
