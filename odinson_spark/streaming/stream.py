@@ -95,7 +95,9 @@ def _dedup_fn(
         emit_first = True
     for pdf in pdfs:
         for doc in pdf["doc_id"]:
-            if first_doc is None:
+            # arrival order within a micro-batch is arbitrary (partitioned
+            # read): break ties by min id so the winner is deterministic
+            if first_doc is None or (emit_first and int(doc) < first_doc):
                 first_doc = int(doc)
             n_seen += 1
     state.update((first_doc, n_seen))
