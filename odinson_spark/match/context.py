@@ -191,25 +191,39 @@ class SentenceBatch:
             self._graphs = [None] * self.n_sentences
             self.label_vocab = LabelVocab([])
             return
+        # flatten all edges across the batch once (vectorized CSR per
+        # sentence; labels interned against one batch vocabulary)
         all_labels: List[str] = []
-        for e in self._edges:
+        srcs: List[int] = []
+        dsts: List[int] = []
+        offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
+        for i, e in enumerate(self._edges):
             if e:
-                all_labels.extend(lab for _, _, lab in e)
+                for (s, d, lab) in e:
+                    srcs.append(s)
+                    dsts.append(d)
+                    all_labels.append(lab)
+            offsets[i + 1] = len(srcs)
         codes, vocab = _factorize(all_labels) if all_labels else (np.zeros(0, np.int32), [])
         self.label_vocab = LabelVocab(vocab)
+        src_arr = np.asarray(srcs, dtype=np.int32)
+        dst_arr = np.asarray(dsts, dtype=np.int32)
         graphs: List[Optional[Digraph]] = []
-        k = 0
         for i in range(self.n_sentences):
-            e = self._edges[i]
-            if not e:
+            a, b = int(offsets[i]), int(offsets[i + 1])
+            if a == b:
                 graphs.append(None)
                 continue
-            triples = []
-            for (src, dst, _lab) in e:
-                triples.append((src, dst, int(codes[k])))
-                k += 1
-            roots = self._roots[i] if self._roots else ()
-            graphs.append(Digraph.from_edges(self.num_tokens[i], triples, roots or ()))
+            roots = (self._roots[i] if self._roots else ()) or ()
+            graphs.append(
+                Digraph.from_arrays(
+                    self.num_tokens[i],
+                    src_arr[a:b],
+                    dst_arr[a:b],
+                    codes[a:b],
+                    roots,
+                )
+            )
         self._graphs = graphs
 
     # -- per-sentence contexts --------------------------------------------
