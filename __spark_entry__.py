@@ -33,6 +33,7 @@ from odinson_spark.pipeline.extract import (
     tokenize_documents,
     triples_from_mentions,
 )
+from odinson_spark.pipeline.oneshot import extract_one_shot
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -46,14 +47,20 @@ def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_pattern(spark, sf_dir, pattern: str, use_state: bool = False) -> DataFrame:
+    """Extraction queries run through the fused one-shot path (annotate+match
+    in one narrow stage); results are identical to the staged
+    tokenize→prefilter→match path (asserted by
+    tests/test_plans.py::test_fused_equals_staged), just with one Arrow
+    round-trip instead of two."""
     grammar_rules = pattern if pattern.lstrip().startswith("rules:") else None
     if grammar_rules is None:
         grammar = f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
     else:
         grammar = pattern
     extractors, _ = RuleReader().compile_rules(grammar)
-    sents = apply_prefilter(_sentences(spark, sf_dir), extractors)
-    return extract_mentions_df(sents, extractors, use_state=use_state)
+    return extract_one_shot(
+        _t(spark, sf_dir, "documents"), extractors, use_state=use_state
+    )
 
 
 def _mention_spans(spark, sf_dir, pattern: str, rule: str | None = None, use_state=False) -> DataFrame:
@@ -105,8 +112,7 @@ rules:
 
 def entry(spark: SparkSession) -> DataFrame:
     extractors, _ = RuleReader().compile_rules(EVENT_GRAMMAR)
-    sents = apply_prefilter(_sentences(spark, DEFAULT_SF_DIR), extractors)
-    mentions = extract_mentions_df(sents, extractors)
+    mentions = extract_one_shot(_t(spark, DEFAULT_SF_DIR, "documents"), extractors)
     return triples_from_mentions(mentions).orderBy("doc_id", "subj_start")
 
 
@@ -154,8 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- events / triples ---------------------------------------------------
     def event_triple(s, d):
         extractors, _ = RuleReader().compile_rules(EVENT_GRAMMAR)
-        sents = apply_prefilter(_sentences(s, d), extractors)
-        triples = triples_from_mentions(extract_mentions_df(sents, extractors))
+        mentions = extract_one_shot(_t(s, d, "documents"), extractors)
+        triples = triples_from_mentions(mentions)
         return triples.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "rule",
@@ -196,8 +202,7 @@ rules:
         extractors, _ = RuleReader().compile_rules(
             "rules:\n  - name: q\n    type: basic\n    pattern: |\n      spark\n"
         )
-        sents = apply_prefilter(tokenize_documents(docs), extractors)
-        m = extract_mentions_df(sents, extractors)
+        m = extract_one_shot(docs, extractors)
         return m.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("start").alias("mstart"),
