@@ -56,8 +56,18 @@ def shingles(s: str, k: int = 3) -> List[str]:
     return [s[i : i + k] for i in range(len(s) - k + 1)]
 
 
+_shingle_cache: dict = {}
+
+
 def shingle_hash(sh: str) -> int:
-    return int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:_HASH_BITS_HEX], 16)
+    # k-shingles over natural text repeat heavily across documents; the
+    # md5 memo turns the signature stage from hash-bound to lookup-bound
+    h = _shingle_cache.get(sh)
+    if h is None:
+        h = int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:_HASH_BITS_HEX], 16)
+        if len(_shingle_cache) < 2_000_000:
+            _shingle_cache[sh] = h
+    return h
 
 
 def minhash_signature(s: str, n_hashes: int, k: int, a, b) -> List[int]:
@@ -76,6 +86,10 @@ def add_minhash(
     seed: int = 42,
     out_col: str = "minhash",
 ) -> DataFrame:
+    from ..pipeline.extract import _fan_out
+
+    df = _fan_out(df)  # signature stage is CPU-bound; small inputs often
+    # arrive as one split and would otherwise run single-task
     a, b = _hash_params(n_hashes, seed)
     out_schema = StructType(df.schema.fields + [StructField(out_col, ArrayType(LongType()))])
 
