@@ -49,7 +49,9 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_postings: int = 10000,
 ) -> DataFrame:
-    toks = documents.select(
+    from ..pipeline.extract import _fan_out
+
+    toks = _fan_out(documents).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     gram_array = F.when(
@@ -195,21 +197,28 @@ FROM bandkeys x JOIN bandkeys y
 _SIMHASH_BITS = 60
 
 
+_token_hash_cache: dict = {}
+_BIT_RANGE = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_token_hash_cache) < 2_000_000:
+            _token_hash_cache[tok] = h
+    return h
+
+
 def _simhash(text: str) -> int:
-    sums = np.zeros(_SIMHASH_BITS, dtype=np.int64)
     toks = text.split()
     if not toks:
         return 0
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-    for tok, cnt in zip(uniq, counts):
-        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-        for j in range(_SIMHASH_BITS):
-            sums[j] += cnt if (h >> j) & 1 else -cnt
-    out = 0
-    for j in range(_SIMHASH_BITS):
-        if sums[j] > 0:
-            out |= 1 << j
-    return out
+    hs = np.fromiter((_token_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = ((hs[:, None] >> _BIT_RANGE[None, :]) & 1).astype(np.int64)
+    sums = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return int(((sums > 0).astype(np.uint64) << _BIT_RANGE).sum())
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
@@ -226,7 +235,9 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             out["simhash"] = [_simhash(t or "") for t in pdf["text"]]
             yield out
 
-    return documents.select("doc_id", "text").mapInPandas(fn, schema)
+    from ..pipeline.extract import _fan_out
+
+    return _fan_out(documents.select("doc_id", "text")).mapInPandas(fn, schema)
 
 
 SIMHASH_ORACLE_SQL = f"""

@@ -151,7 +151,9 @@ def fingerprints(documents: DataFrame) -> DataFrame:
             out["fingerprint"] = [fp(t or "") for t in pdf["text"]]
             yield out
 
-    return documents.select("doc_id", "text").mapInPandas(fn, schema)
+    from ..pipeline.extract import _fan_out
+
+    return _fan_out(documents.select("doc_id", "text")).mapInPandas(fn, schema)
 
 
 FINGERPRINT_ORACLE_SQL = """
