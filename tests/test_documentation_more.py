@@ -137,3 +137,33 @@ def test_named_captures_with_syntax():
     assert [c.name for c in caps] == ["controller", "theme"]
     assert (caps[0].match.start, caps[0].match.end) == (0, 1)
     assert (caps[1].match.start, caps[1].match.end) == (2, 3)
+
+
+# --- TestDocumentationStrings ---------------------------------------------------
+
+STRINGS_DOC = json.loads(
+    """{"id":"sd","metadata":[],"sentences":[{"numTokens":5,"fields":[{"$type":"ai.lum.odinson.TokensField","name":"raw","tokens":["George","and","dog","bears","."]},{"$type":"ai.lum.odinson.TokensField","name":"word","tokens":["George","and","dog","bears","."]},{"$type":"ai.lum.odinson.TokensField","name":"tag","tokens":["NNP","VBD","JJ","NNS","."]},{"$type":"ai.lum.odinson.TokensField","name":"lemma","tokens":["george","and","dog","bear","."]},{"$type":"ai.lum.odinson.TokensField","name":"entity","tokens":["foo:bar","O","O","O","O"]},{"$type":"ai.lum.odinson.TokensField","name":"chunk","tokens":["B-NP","I-NP","I-NP","I-NP","O"]},{"$type":"ai.lum.odinson.GraphField","name":"dependencies","edges":[[1,0,"nsubj"],[1,3,"dobj"],[1,4,"punct"],[3,2,"nmod_foo"]],"roots":[1]}]}]}"""
+)
+
+
+def test_string_with_dash_no_quotes():
+    assert len(run_doc(STRINGS_DOC, "[chunk=B-NP]")) == 1
+
+
+def test_string_with_colon_no_quotes():
+    # extended identifiers allow ':' and '-' (Literals.scala extendedIdentifier)
+    assert len(run_doc(STRINGS_DOC, "[entity=foo:bar]")) == 1
+
+
+def test_quoted_string_token():
+    ms = run_text("lala lala 3:10 to Yuma", '"3:10" to Yuma')
+    assert len(ms) == 1
+
+
+def test_regex_edge_label():
+    ms = run_doc(STRINGS_DOC, "(?<foo> [word=bears]) >/nmod_.*/ []")
+    assert len(ms) == 1
+    assert (ms[0].start, ms[0].end) == (2, 3)
+    caps = ms[0].named_captures()
+    assert caps[0].name == "foo"
+    assert (caps[0].match.start, caps[0].match.end) == (3, 4)
