@@ -225,6 +225,9 @@ rules:
     q["dedup_simhash"] = lambda s, d: dd.simhash_signatures(
         _t(s, d, "documents")
     ).orderBy("doc_id")
+    q["dedup_simhash_pairs"] = lambda s, d: dd.simhash_pairs(
+        _t(s, d, "documents"), bands=4, max_hamming=3
+    ).orderBy("doc_a", "doc_b")
     q["dedup_embed_cosine"] = lambda s, d: dd.embedding_cosine_pairs(
         _t(s, d, "embeddings"), threshold=0.35
     ).orderBy("vec_a", "vec_b")
@@ -239,7 +242,8 @@ rules:
     q["ann_topk"] = ann_topk
     q["ann_lsh"] = lambda s, d: sim.lsh_ann_topk(_t(s, d, "embeddings"), k=5).orderBy(
         "query_id", "rank"
-    )  # rows-only check (seeded hyperplanes not SQL-expressible)
+    )  # fully hash-checked: integer planes + quantized dots are inlined
+    # as SQL literals in lsh_ann_oracle_sql
 
     # --- text analysis -----------------------------------------------------------
     q["text_tokens"] = lambda s, d: tx.token_stats(_t(s, d, "documents")).orderBy("doc_id")
@@ -509,6 +513,11 @@ ORDER BY doc_a, doc_b
 """
     o["dedup_minhash_lsh"] = dd.minhash_lsh_oracle_sql() + "\nORDER BY doc_a, doc_b"
     o["dedup_simhash"] = dd.SIMHASH_ORACLE_SQL + "\nORDER BY doc_id"
+    # full quadratic ground truth — matching it proves the banded join is
+    # lossless for max_hamming < bands
+    o["dedup_simhash_pairs"] = (
+        dd.simhash_pairs_oracle_sql(max_hamming=3) + "\nORDER BY doc_a, doc_b"
+    )
     o["dedup_embed_cosine"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -530,6 +539,7 @@ ranked AS (
 SELECT query_id, nbr_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+    o["ann_lsh"] = sim.lsh_ann_oracle_sql(k=5) + "\nORDER BY query_id, rank"
 
     # text analysis
     o["text_tokens"] = tx.TOKEN_STATS_ORACLE_SQL + "\nORDER BY doc_id"

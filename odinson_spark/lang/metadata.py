@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-from .normalize import normalize_unicode_aggressively
+from .normalize import fold_string_column, normalize_unicode_aggressively
 from .parser import _P, ParseError
 
 
@@ -286,13 +286,16 @@ def _compile(e, field_prefix: str):
     if isinstance(e, Cmp):
         lhs = _value_col(e.lhs, field_prefix)
         rhs = _value_col(e.rhs, field_prefix)
-        # string comparisons are casefolded on both sides: the reference
-        # aggressively normalizes metadata strings at index AND query time
-        # (metadata/Ast.scala:22-25, OdinsonIndexWriter.scala:243)
+        # string comparisons are aggressively normalized on BOTH sides: the
+        # reference normalizes metadata strings at index AND query time
+        # (metadata/Ast.scala:22-25, OdinsonIndexWriter.scala:243). The query
+        # literal side used .norm (Python); the column side gets the
+        # Catalyst-expression equivalent (lower + diacritic fold) so e.g.
+        # character == 'mr darcy' matches a stored 'Mr Darçy'.
         if isinstance(e.rhs, StringValue) and not isinstance(e.lhs, StringValue):
-            lhs = F.lower(lhs)
+            lhs = fold_string_column(lhs)
         if isinstance(e.lhs, StringValue) and not isinstance(e.rhs, StringValue):
-            rhs = F.lower(rhs)
+            rhs = fold_string_column(rhs)
         # true open/closed ranges (the reference approximates </> as ±1 on
         # doubles, MetadataCompiler.scala:64-114 — a quirk we fix)
         if e.op == "<":
@@ -318,7 +321,7 @@ def _compile(e, field_prefix: str):
     if isinstance(e, Contains):
         from pyspark.sql import functions as F
 
-        col = F.lower(_value_col(e.field, field_prefix))
+        col = fold_string_column(_value_col(e.field, field_prefix))
         return col.contains(F.lit(e.value.norm))
     raise TypeError(f"unknown expression {e!r}")
 
@@ -342,7 +345,7 @@ def _compile_nested(e, s):
         def val(v, other):
             if isinstance(v, FieldValue):
                 col = s[v.name]
-                return F.lower(col) if isinstance(other, StringValue) else col
+                return fold_string_column(col) if isinstance(other, StringValue) else col
             return _value_col(v, "")
 
         lhs, rhs = val(e.lhs, e.rhs), val(e.rhs, e.lhs)
@@ -354,5 +357,5 @@ def _compile_nested(e, s):
             "==": lhs == rhs,
         }[e.op]
     if isinstance(e, Contains):
-        return F.lower(s[e.field.name]).contains(e.value.norm)
+        return fold_string_column(s[e.field.name]).contains(e.value.norm)
     raise TypeError(f"unsupported nested expression {e!r}")

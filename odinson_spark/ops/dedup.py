@@ -119,7 +119,18 @@ def minhash_lsh_pairs(
     bands: int = 2,
     k: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
+    """Near-dup candidate pairs sharing ≥1 LSH band bucket.
+
+    Skew guard: the band self-join is quadratic in bucket size, so a hot
+    bucket (k identical/boilerplate docs) would emit k²/2 rows per band.
+    Buckets above ``max_bucket_size`` switch to STAR pairs — (min_id, other)
+    for every other member, k-1 rows — which preserves dedup connectivity
+    exactly (connected components are unchanged) while bounding output.
+    Both paths avoid collect_list, so no single row ever holds a giant
+    bucket. The SQL oracle reproduces the all-pairs path bit-for-bit as long
+    as no bucket exceeds the cap (true at gate scale by construction)."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = add_minhash(
@@ -139,18 +150,27 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-    pairs = (
-        banded.alias("x")
+    stats = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_min_id"))
+        .filter(F.col("_n") > 1)
+    )
+    tagged = banded.join(stats, ["band", "band_key"])
+    small = tagged.filter(F.col("_n") <= max_bucket_size)
+    pairs_small = (
+        small.alias("x")
         .join(
-            banded.alias("y"),
+            small.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
-    return pairs
+    pairs_star = tagged.filter(
+        (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_min_id"))
+    ).select(F.col("_min_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairs_small.union(pairs_star).distinct()
 
 
 def minhash_lsh_oracle_sql(
@@ -255,6 +275,81 @@ bits AS (
 )
 SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — the pairing stage that
+    turns the fingerprint column into an actual dedup operator.
+
+    LOSSLESS banded join when ``max_hamming < bands``: a pair at hamming ≤ t
+    differs in at most t of the ``bands`` signature bands, so at least one
+    band is bit-identical (pigeonhole) — the equi-join on (band, band_value)
+    surfaces every qualifying pair, and the exact ``bit_count(xor) ≤ t``
+    filter removes false candidates. The result therefore equals the full
+    quadratic ground truth (which is exactly what the SQL oracle computes).
+
+    Skew guard: candidate buckets larger than ``max_bucket_size`` are
+    dropped (a band value shared by that many docs is degenerate
+    boilerplate); deterministic, so an oracle could mirror it."""
+    assert max_hamming < bands, "banding is only lossless when max_hamming < bands"
+    assert _SIMHASH_BITS % bands == 0
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sig = simhash_signatures(documents)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", width * b).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    counts = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_n"))
+    capped = banded.join(counts, ["band", "val"]).filter(
+        (F.col("_n") > 1) & (F.col("_n") <= max_bucket_size)
+    )
+    pairs = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents", max_hamming: int = 3
+) -> str:
+    """Ground truth: FULL quadratic hamming join over the signature table —
+    matching it proves the banded join in :func:`simhash_pairs` is lossless."""
+    return f"""
+WITH sig AS ({SIMHASH_ORACLE_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -2,26 +2,30 @@
 
 * :func:`cosine_topk` — brute-force exact top-k, entirely JVM-side
   (``zip_with``/``aggregate`` + a rank window). The correctness baseline.
-* :func:`lsh_ann_topk` — random-hyperplane LSH bucketing: queries only score
-  against vectors sharing a hash bucket (multi-probe over b bit-flips).
-  The scale path: at 10^12 vectors, the bucket join replaces the cross
-  join; recall is tunable via n_planes/probes. Hyperplanes are seeded →
-  deterministic, but the op is not expressible in plain SQL → rows-only
-  correctness check + a recall-vs-bruteforce pytest gate.
+* :func:`lsh_ann_topk` — random-hyperplane LSH bucketing with 1-bit-flip
+  multi-probe: queries only score against vectors sharing a (probed) hash
+  bucket. The scale path: at 10^12 vectors the bucket equi-join replaces the
+  cross join — shuffle-partitionable, no corpus broadcast — and recall is
+  tunable via n_planes/n_probes.
+
+Reproducibility design: hyperplane weights are seeded INTEGERS and the
+per-dimension products are quantized with ``floor(x * w * 65536)`` before
+summing — integer addition is order-independent, and scaling by a power of
+two is exact in IEEE double, so Spark and DuckDB compute byte-identical
+bucket ids. That turns the LSH ANN from a rows-only check into a fully
+hash-checked gate (the oracle inlines the plane matrix as SQL literals).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from .dedup import _cosine_col
+
+_QUANT = 65536  # power of two: scaling is exact in IEEE double
 
 
 def cosine_topk(
@@ -53,32 +57,41 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+def _hyperplanes_int(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded integer hyperplane weights in [-1000, 1000] — random directions
+    (sign test only cares about direction), exactly representable in double,
+    and inlineable as SQL literals."""
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+    return rng.randint(-1000, 1001, size=(n_planes, dim)).astype(np.int64)
+
+
+def _bucket_column(emb_col, planes: np.ndarray):
+    """bucket = Σ_p (dot_p > 0) << p, with dot_p computed as a sum of
+    floor-quantized per-dimension products. Pure Catalyst expressions —
+    stays in whole-stage codegen, no Python worker."""
+    n_planes = len(planes)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane_arr = F.array(*[F.lit(int(w)) for w in planes[p]])
+        prods = F.zip_with(
+            emb_col,
+            plane_arr,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
+            ).cast("long"),
+        )
+        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
 
 
 def add_lsh_bucket(
     embeddings: DataFrame, dim: int, n_planes: int = 12, seed: int = 7
 ) -> DataFrame:
-    planes = _hyperplanes(dim, n_planes, seed)
-    schema = StructType(
-        list(embeddings.schema.fields) + [StructField("bucket", LongType())]
-    )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            if len(vecs):
-                bits = (vecs @ planes.T) > 0
-                bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            else:
-                bucket = np.zeros(0, dtype=np.int64)
-            out = pdf.copy()
-            out["bucket"] = bucket.astype(np.int64)
-            yield out
-
-    return embeddings.mapInPandas(fn, schema)
+    planes = _hyperplanes_int(dim, n_planes, seed)
+    return embeddings.withColumn("bucket", _bucket_column(F.col("embedding"), planes))
 
 
 def lsh_ann_topk(
@@ -87,24 +100,42 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 10,
     seed: int = 7,
+    n_probes: int | None = None,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to same-bucket vectors.
-    Scale behavior: the crossJoin of cosine_topk becomes an equi-join on
-    `bucket` — shuffle-partitionable, no broadcast of the full corpus."""
+    """Approximate top-k with hyperplane LSH + 1-bit-flip multi-probe.
+
+    Each query probes its own bucket plus ``n_probes`` (default: all
+    ``n_planes``) single-bit-flip neighbor buckets, recovering near-misses
+    that landed on the other side of exactly one hyperplane. Probe buckets
+    are distinct values and every candidate lives in exactly one bucket, so
+    no (query, nbr) pair is scored twice — no distinct needed.
+
+    Skew guard: candidate buckets above ``max_bucket_size`` are dropped
+    (deterministic; mirrored by the SQL oracle)."""
+    if n_probes is None:
+        n_probes = n_planes
     b = add_lsh_bucket(embeddings, dim, n_planes, seed)
-    left = b.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("va"),
-        "bucket",
-    )
-    right = b.select(
+    base = b.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("vb"),
         "bucket",
     )
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    base = base.join(counts, "bucket").filter(F.col("_n") <= max_bucket_size).drop("_n")
+    probes = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)],
+            )
+        ).alias("bucket"),
+    )
     cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
     scored = (
-        left.join(right, "bucket")
+        probes.join(base, "bucket")
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", cos.alias("cosine"))
     )
@@ -114,3 +145,64 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def lsh_ann_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 10,
+    seed: int = 7,
+    n_probes: int | None = None,
+    max_bucket_size: int = 100_000,
+) -> str:
+    """DuckDB SQL computing the identical ANN result: the seeded integer
+    plane matrix is inlined as VALUES (the minhash_lsh_oracle_sql trick), the
+    quantized dot products make bucket ids engine-independent."""
+    if n_probes is None:
+        n_probes = n_planes
+    planes = _hyperplanes_int(dim, n_planes, seed)
+    values = ", ".join(
+        f"({p}, {i + 1}, {int(planes[p][i])})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+    return f"""
+WITH planes(p, i, w) AS (VALUES {values}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.embedding[pl.i]::DOUBLE * pl.w::DOUBLE * {float(_QUANT)}) AS BIGINT)) AS dot
+  FROM {table} e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+counts AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket),
+base AS (
+  SELECT b.vec_id, b.bucket FROM buckets b
+  JOIN counts c ON b.bucket = c.bucket WHERE c.n <= {max_bucket_size}
+),
+probes AS (
+  SELECT b.vec_id AS query_id,
+         CASE WHEN g.g = -1 THEN b.bucket
+              ELSE xor(b.bucket, (1::BIGINT << g.g)) END AS bucket
+  FROM buckets b, (SELECT unnest(generate_series(-1, {n_probes - 1})) AS g) g
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS nbr_id
+  FROM probes p JOIN base c ON p.bucket = c.bucket AND p.query_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS cosine
+  FROM cand
+  JOIN {table} q ON q.vec_id = cand.query_id
+  JOIN {table} n ON n.vec_id = cand.nbr_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""

@@ -219,7 +219,9 @@ def batch_from_pandas(pdf: pd.DataFrame, need_graph: bool, need_inout: bool) -> 
             layers[name] = [list(x) if x is not None else None for x in pdf[name]]
     num_tokens = [int(x) for x in pdf["num_tokens"]]
     edges = None
-    if need_graph and "deps_src" in pdf.columns:
+    # inout layers are derived from edges, so a bare [incoming=]/[outgoing=]
+    # token constraint needs the edge columns even without any traversal
+    if (need_graph or need_inout) and "deps_src" in pdf.columns:
         edges = []
         for src, dst, lab in zip(pdf["deps_src"], pdf["deps_dst"], pdf["deps_label"]):
             if src is None or len(src) == 0:

@@ -34,17 +34,33 @@ from .extract import _MENTION_COLS, _fan_out, _fields_used
 _TEXT_DERIVED_FIELDS = ("raw", "word", "norm", "lemma")
 
 
+def _is_non_ascii_text() -> "F.Column":
+    # a string is pure ASCII iff its UTF-8 byte length equals its char length
+    # (every ASCII char is 1 byte; every non-ASCII char is >1). Cheap JVM-side
+    # check, no regex scan.
+    return F.octet_length(F.col("text")) != F.length(F.col("text"))
+
+
 def text_prefilter_column(pf) -> "F.Column":
     """Render a rule prefilter as a predicate over the raw `text` column.
+
     Sound (never drops a matchable doc): term constraints on text-derived
-    layers become case-insensitive substring tests; anything else → TRUE."""
+    layers become case-insensitive substring tests, but ONLY for pure-ASCII
+    documents — on ASCII input every derived layer (raw/word = NFKC,
+    lemma = lower, norm = NFKC+casefold+strip-diacritics) degenerates to
+    ``lower``, so ``[layer=term]`` implies ``lower(text) contains term``.
+    A non-ASCII document can normalize INTO the term without containing it
+    ("Café" → norm "cafe"), so non-ASCII docs bypass the prefilter and go
+    straight to the matcher. Anything not provably necessary → TRUE."""
     if isinstance(pf, pfmod.PFTrue):
         return F.lit(True)
     if isinstance(pf, pfmod.PFFalse):
         return F.lit(False)
     if isinstance(pf, pfmod.PFTerm):
         if pf.field in _TEXT_DERIVED_FIELDS and pf.value.isascii() and pf.value.isalnum():
-            return F.lower(F.col("text")).contains(pf.value.lower())
+            return _is_non_ascii_text() | F.lower(F.col("text")).contains(
+                pf.value.lower()
+            )
         return F.lit(True)
     if isinstance(pf, pfmod.PFEdge):
         return F.lit(True)

@@ -22,9 +22,16 @@ from pyspark.sql import functions as F
 
 
 def salted_repartition(
-    df: DataFrame, cols, num_partitions: int, salt_buckets: int = 16
+    df: DataFrame, cols, num_partitions: int, salt_buckets: int = 16, salt_cols=None
 ) -> DataFrame:
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    """Shuffle on (cols, salt) so a hot key spreads over ``salt_buckets``
+    tasks. The salt is derived deterministically from row CONTENT (all
+    columns by default), never from ``monotonically_increasing_id()`` or a
+    random: a nondeterministic shuffle key re-hashes rows differently when a
+    stage retries after a fetch failure, which Spark cannot reconcile and may
+    duplicate or drop rows."""
+    basis = [F.col(c) for c in (salt_cols or df.columns)]
+    salt = F.pmod(F.xxhash64(*basis), F.lit(salt_buckets))
     return (
         df.withColumn("_salt", salt)
         .repartition(num_partitions, *(list(cols) + ["_salt"]))

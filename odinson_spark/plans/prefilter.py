@@ -191,6 +191,12 @@ def prefilter_of(p: prog.Prog, default_field: str = "norm") -> object:
 # --- rendering ---------------------------------------------------------------
 
 
+# the sentence table stores per-token incoming/outgoing label lists flattened
+# to a sentence-level label set; a [incoming=l]/[outgoing=l] token constraint
+# implies the label exists somewhere in the sentence
+_FIELD_TO_COLUMN = {"incoming": "incoming_flat", "outgoing": "outgoing_flat"}
+
+
 def to_spark_column(pf):
     from pyspark.sql import functions as F
 
@@ -199,7 +205,9 @@ def to_spark_column(pf):
     if isinstance(pf, PFFalse):
         return F.lit(False)
     if isinstance(pf, PFTerm):
-        return F.array_contains(F.col(pf.field), pf.value)
+        return F.array_contains(
+            F.col(_FIELD_TO_COLUMN.get(pf.field, pf.field)), pf.value
+        )
     if isinstance(pf, PFEdge):
         return F.array_contains(F.col("outgoing_flat"), pf.label)
     if isinstance(pf, PFAnd):
@@ -222,7 +230,7 @@ def to_sql(pf) -> str:
         return "FALSE"
     if isinstance(pf, PFTerm):
         v = pf.value.replace("'", "''")
-        return f"array_contains({pf.field}, '{v}')"
+        return f"array_contains({_FIELD_TO_COLUMN.get(pf.field, pf.field)}, '{v}')"
     if isinstance(pf, PFEdge):
         v = pf.label.replace("'", "''")
         return f"array_contains(outgoing_flat, '{v}')"

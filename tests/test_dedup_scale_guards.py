@@ -1,0 +1,92 @@
+"""Scale guards on the dedup/LSH joins: hot buckets must not go quadratic,
+and the simhash pairing stage must be lossless under its banding guarantee."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from odinson_spark.ops.dedup import minhash_lsh_pairs, simhash_pairs, simhash_signatures
+
+
+def test_minhash_lsh_hot_bucket_is_bounded(spark):
+    # 1000 identical docs: uncapped banding would emit 1000*999/2 = 499500
+    # pairs per band; with the star fallback the output is exactly n-1 pairs,
+    # and dedup connectivity (one component) is preserved.
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=64).collect()
+    assert len(pairs) == n - 1
+    assert all(r.doc_a == 0 for r in pairs)  # star centered at min doc_id
+    assert {r.doc_b for r in pairs} == set(range(1, n))
+
+
+def test_minhash_lsh_small_buckets_unchanged(spark):
+    # below the cap the result is the classic all-pairs band join
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma delta"),
+            (4, "totally different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_pairs_finds_planted_near_dups(spark):
+    base = "spark catalyst optimizer pushes filters into the parquet scan layer"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, base.replace("parquet", "iceberg")),  # one token changed -> small hamming
+        (4, "completely unrelated words about cooking pasta tonight with basil"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, bands=15, max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 12
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_pairs_banding_is_lossless(spark):
+    # ground truth: quadratic join over signatures; the banded join must
+    # reproduce it exactly when max_hamming < bands
+    import random
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, bands=4, max_hamming=3).collect()
+    }
+    sig = simhash_signatures(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    truth = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == truth
+
+
+def test_simhash_pairs_rejects_lossy_params(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(AssertionError):
+        simhash_pairs(docs, bands=4, max_hamming=4)
