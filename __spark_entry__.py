@@ -157,6 +157,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_hop2"] = lambda s, d: _mention_spans(s, d, "data >next [] >next []")
     q["graph_kleene"] = lambda s, d: _mention_spans(s, d, "agg >next* []")
 
+    # --- branching multi-edge digraph (code mode) ---------------------------
+    # The linear next-chain gates above can't distinguish edge labels; these
+    # run the REAL code annotator (tokenizer/code_tokenizer.py::annotate_code)
+    # on a deterministically constructed call expression per document —
+    # `v_t0 = v_t1 ( v_t2 , v_t3 )` — whose dependency digraph branches:
+    # token 2 (the CALL) has outgoing edges next→3, arg→4, arg→6, and
+    # incoming assign←0, so the traversal must select among multiple
+    # out-edges by label. The oracle predicts the answer from the
+    # construction (positions are fixed by the lexer).
+    def _code_docs(s, d):
+        docs = _t(s, d, "documents")
+        toks = F.split(F.col("text"), " ")
+
+        def clean(i):
+            return F.concat(
+                F.lit("v_"),
+                F.regexp_replace(F.element_at(toks, i), "[^A-Za-z0-9_]", ""),
+            )
+
+        content = F.concat_ws(
+            " ",
+            clean(1), F.lit("="), clean(2), F.lit("("), clean(3), F.lit(","),
+            clean(4), F.lit(")"),
+        )
+        return docs.filter(F.size(toks) >= 4).select(
+            "doc_id", content.alias("text")
+        )
+
+    def _code_pattern(s, d, pattern):
+        grammar = f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
+        extractors, _ = RuleReader().compile_rules(grammar)
+        m = extract_one_shot(_code_docs(s, d), extractors, mode="code")
+        return (
+            m.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("start").alias("mstart"),
+                F.col("end").alias("mend"),
+                F.col("text").alias("mtext"),
+            )
+            .orderBy("doc_id", "mstart", "mend")
+        )
+
+    q["graph_code_arg"] = lambda s, d: _code_pattern(s, d, "[entity=CALL] >arg []")
+    q["graph_code_assign"] = lambda s, d: _code_pattern(s, d, "[] >assign []")
+
     # --- events / triples ---------------------------------------------------
     def event_triple(s, d):
         extractors, _ = RuleReader().compile_rules(EVENT_GRAMMAR)
@@ -438,6 +483,39 @@ JOIN (SELECT doc_id, min(pos) AS p0 FROM toks WHERE tok = 'agg' GROUP BY doc_id)
   ON t.doc_id = m.doc_id AND t.pos >= m.p0
 """,
         body=True,
+    )
+
+    # code-mode digraph gates: the oracle reproduces the construction
+    # (clean tokens exactly as the Spark side does) and predicts the lexer's
+    # fixed positions: tokens are [t0, =, t1, (, t2, ,, t3, )], the CALL at
+    # pos 2 has arg edges to pos 4 and 6, and assign goes 0 → 2
+    _CODE_TOKS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+c AS (
+  SELECT doc_id,
+         'v_' || regexp_replace(ts[1], '[^A-Za-z0-9_]', '', 'g') AS t0,
+         'v_' || regexp_replace(ts[2], '[^A-Za-z0-9_]', '', 'g') AS t1,
+         'v_' || regexp_replace(ts[3], '[^A-Za-z0-9_]', '', 'g') AS t2,
+         'v_' || regexp_replace(ts[4], '[^A-Za-z0-9_]', '', 'g') AS t3
+  FROM d WHERE len(ts) >= 4
+)
+"""
+    o["graph_code_arg"] = (
+        _CODE_TOKS
+        + """
+SELECT * FROM (
+  SELECT doc_id, 4::INT AS mstart, 5::INT AS mend, t2 AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 6::INT AS mstart, 7::INT AS mend, t3 AS mtext FROM c
+) q ORDER BY doc_id, mstart, mend
+"""
+    )
+    o["graph_code_assign"] = (
+        _CODE_TOKS
+        + """
+SELECT doc_id, 2::INT AS mstart, 3::INT AS mend, t1 AS mtext FROM c
+ORDER BY doc_id, mstart, mend
+"""
     )
 
     o["event_triple"] = (

@@ -11,6 +11,9 @@ paths) and uses only public Iceberg-Spark SQL surface.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,11 +63,30 @@ class TableIO:
 
     def delete_doc(self, table: str, doc_id: str):
         """Incremental delete (reference: remove all Lucene docs of an
-        Odinson doc). Iceberg: row-level DELETE; parquet backend: rewrite."""
+        Odinson doc, OdinsonIndex.scala:58-106). Iceberg: row-level DELETE
+        with the id bound as a named parameter (never interpolated — a
+        doc_id containing a quote must not break or inject). Parquet
+        backend: rewrite to a temp path, then swap — the job never reads and
+        overwrites the same path (relying on cache retention to have
+        materialized the input corrupts the table under memory pressure)."""
         if self.use_iceberg:
-            self.spark.sql(f"DELETE FROM {table} WHERE doc_id = '{doc_id}'")
+            self.spark.sql(
+                f"DELETE FROM {table} WHERE doc_id = :doc_id",
+                args={"doc_id": doc_id},
+            )
         else:
-            df = self.read(table).filter(f"doc_id <> '{doc_id}'")
-            df.cache().count()
-            self.overwrite(df, table)
-            df.unpersist()
+            from pyspark.sql import functions as F
+
+            df = self.read(table).filter(F.col("doc_id") != F.lit(doc_id))
+            tmp = f"{table.rstrip('/')}.__rewrite-{uuid.uuid4().hex[:8]}__"
+            df.write.mode("overwrite").parquet(tmp)
+            old = f"{table.rstrip('/')}.__old-{uuid.uuid4().hex[:8]}__"
+            os.rename(table, old)
+            os.rename(tmp, table)
+            shutil.rmtree(old)
+
+    def update_doc(self, table: str, doc_id: str, rows: DataFrame):
+        """Incremental update = delete + append (the reference's update path,
+        IncrementalOdinsonIndex.scala: delete old Lucene docs, re-add)."""
+        self.delete_doc(table, doc_id)
+        self.append(rows, table)
