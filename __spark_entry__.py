@@ -239,6 +239,31 @@ rules:
         s, d, CASCADE, rule="after-np", use_state=True
     )
 
+    # --- interactive top-N + searchAfter pagination ---------------------------
+    def search_after_topn(s, d):
+        """Page 2 of a paged search: page 1 (n=10) is fetched in-driver, its
+        cursor feeds searchAfter, and the returned page-2 rows must equal the
+        oracle's ORDER BY ... LIMIT 10 OFFSET 10 (the result key is unique,
+        so cursor pagination ≡ offset pagination)."""
+        from odinson_spark.search import SearchEngine
+
+        eng = SearchEngine(tokenize_documents(_t(s, d, "documents")))
+        p1 = eng.search("fast", n=10)
+        assert p1.next_cursor is not None
+        return (
+            eng.mentions("fast", after=p1.next_cursor)
+            .orderBy("doc_id", "sent_id", "start", "end")
+            .limit(10)
+            .select(
+                "doc_id",
+                F.col("start").alias("mstart"),
+                F.col("end").alias("mend"),
+                F.col("text").alias("mtext"),
+            )
+        )
+
+    q["search_after_topn"] = search_after_topn
+
     # --- metadata filter (Catalyst predicate + extraction) -------------------
     def metadata_filter(s, d):
         docs = _t(s, d, "documents").filter(
@@ -542,6 +567,18 @@ JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 WHERE a.tok = 'the' AND b.tok <> 'the'
 """,
         body=True,
+    )
+
+    # pagination: the sentence table's doc_id is a STRING key, so the page
+    # order (and the offset) is lexicographic — the oracle casts to VARCHAR
+    o["search_after_topn"] = (
+        _TOKS
+        + """
+SELECT doc_id::VARCHAR AS doc_id, pos AS mstart, (pos + 1)::INT AS mend, tok AS mtext
+FROM toks WHERE tok = 'fast'
+ORDER BY doc_id::VARCHAR, mstart
+LIMIT 10 OFFSET 10
+"""
     )
 
     o["metadata_filter"] = (

@@ -71,7 +71,8 @@ def main():
     qs["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
     timings = {}
     t_total = 0.0
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))  # host CPU delivery
+    # varies run-to-run; best-of-3 is the noise floor we can afford per round
     for name in BENCH_QUERIES:
         best = None
         for _ in range(repeats):

@@ -192,22 +192,37 @@ class SentenceBatch:
             self.label_vocab = LabelVocab([])
             return
         # flatten all edges across the batch once (vectorized CSR per
-        # sentence; labels interned against one batch vocabulary)
-        all_labels: List[str] = []
-        srcs: List[int] = []
-        dsts: List[int] = []
+        # sentence; labels interned against one batch vocabulary). Edges per
+        # sentence arrive either as a (src, dst, label) array triple (the
+        # Arrow fast path, no per-edge Python) or a list of tuples (fixtures).
+        src_parts: List[np.ndarray] = []
+        dst_parts: List[np.ndarray] = []
+        lab_parts: List[np.ndarray] = []
         offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
+        total = 0
         for i, e in enumerate(self._edges):
-            if e:
-                for (s, d, lab) in e:
-                    srcs.append(s)
-                    dsts.append(d)
-                    all_labels.append(lab)
-            offsets[i + 1] = len(srcs)
-        codes, vocab = _factorize(all_labels) if all_labels else (np.zeros(0, np.int32), [])
+            if e is not None and len(e) > 0:
+                if isinstance(e, tuple):
+                    s, d, l = e
+                else:
+                    s = np.fromiter((x[0] for x in e), dtype=np.int32, count=len(e))
+                    d = np.fromiter((x[1] for x in e), dtype=np.int32, count=len(e))
+                    l = np.fromiter((x[2] for x in e), dtype=object, count=len(e))
+                src_parts.append(np.asarray(s, dtype=np.int32))
+                dst_parts.append(np.asarray(d, dtype=np.int32))
+                lab_parts.append(np.asarray(l, dtype=object))
+                total += len(src_parts[-1])
+            offsets[i + 1] = total
+        if lab_parts:
+            all_labels = np.concatenate(lab_parts)
+            codes, vocab = _factorize(all_labels)
+            src_arr = np.concatenate(src_parts)
+            dst_arr = np.concatenate(dst_parts)
+        else:
+            codes, vocab = np.zeros(0, np.int32), []
+            src_arr = np.zeros(0, np.int32)
+            dst_arr = np.zeros(0, np.int32)
         self.label_vocab = LabelVocab(vocab)
-        src_arr = np.asarray(srcs, dtype=np.int32)
-        dst_arr = np.asarray(dsts, dtype=np.int32)
         graphs: List[Optional[Digraph]] = []
         for i in range(self.n_sentences):
             a, b = int(offsets[i]), int(offsets[i + 1])

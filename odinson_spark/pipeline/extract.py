@@ -212,40 +212,115 @@ def _uses_graph(programs) -> bool:
 
 
 def batch_from_pandas(pdf: pd.DataFrame, need_graph: bool, need_inout: bool) -> Tuple[SentenceBatch, list, list]:
+    """Arrow batch → SentenceBatch with no per-row Python conversion: token
+    layers stay as the numpy object arrays Arrow produced, edges are passed
+    as (src, dst, label) array triples that _build_graphs concatenates
+    vectorized."""
+    import numpy as np
+
     n = len(pdf)
     layers = {}
     for name in _LAYER_NAMES:
         if name in pdf.columns:
-            layers[name] = [list(x) if x is not None else None for x in pdf[name]]
-    num_tokens = [int(x) for x in pdf["num_tokens"]]
+            layers[name] = pdf[name].to_numpy()
+    num_tokens = pdf["num_tokens"].to_numpy()
     edges = None
     # inout layers are derived from edges, so a bare [incoming=]/[outgoing=]
     # token constraint needs the edge columns even without any traversal
     if (need_graph or need_inout) and "deps_src" in pdf.columns:
         edges = []
-        for src, dst, lab in zip(pdf["deps_src"], pdf["deps_dst"], pdf["deps_label"]):
+        for src, dst, lab in zip(
+            pdf["deps_src"].to_numpy(),
+            pdf["deps_dst"].to_numpy(),
+            pdf["deps_label"].to_numpy(),
+        ):
             if src is None or len(src) == 0:
-                edges.append([])
+                edges.append(None)
             else:
-                edges.append(list(zip((int(x) for x in src), (int(x) for x in dst), lab)))
+                edges.append(
+                    (
+                        np.asarray(src, dtype=np.int32),
+                        np.asarray(dst, dtype=np.int32),
+                        np.asarray(lab, dtype=object),
+                    )
+                )
     if need_inout and edges is not None:
         inc_col, out_col = [], []
         for i in range(n):
-            inc = [[] for _ in range(num_tokens[i])]
-            out = [[] for _ in range(num_tokens[i])]
-            for (s, d, lab) in edges[i]:
-                if 0 <= s < num_tokens[i] and 0 <= d < num_tokens[i]:
-                    out[s].append(lab)
-                    inc[d].append(lab)
+            nt = int(num_tokens[i])
+            inc = [[] for _ in range(nt)]
+            out = [[] for _ in range(nt)]
+            if edges[i] is not None:
+                s_arr, d_arr, l_arr = edges[i]
+                for s, d, lab in zip(s_arr.tolist(), d_arr.tolist(), l_arr.tolist()):
+                    if 0 <= s < nt and 0 <= d < nt:
+                        out[s].append(lab)
+                        inc[d].append(lab)
             inc_col.append(inc)
             out_col.append(out)
         layers["incoming"] = inc_col
         layers["outgoing"] = out_col
     batch = SentenceBatch(layers=layers, num_tokens=num_tokens, edges=edges)
-    return batch, list(pdf["doc_id"]), [int(x) for x in pdf["sent_id"]]
+    return batch, list(pdf["doc_id"]), pdf["sent_id"].to_numpy().tolist()
 
 
 _MENTION_COLS = [f.name for f in MENTIONS_SCHEMA.fields]
+
+
+def _mention_frame(mentions, idx_by_key, raws, shas, EventMatch) -> pd.DataFrame:
+    """Mentions → pandas frame, built column-wise (dict-of-lists): one
+    DataFrame construction per batch instead of one dict per mention row."""
+    c_doc, c_sent, c_sha, c_label, c_found, c_start, c_end, c_text = (
+        [], [], [], [], [], [], [], [],
+    )
+    c_isev, c_tstart, c_tend, c_caps = [], [], [], []
+    for m in mentions:
+        i = idx_by_key[(m.doc_id, m.sent_id)]
+        toks = raws[i]
+        is_event = isinstance(m.match, EventMatch)
+        caps = [
+            {
+                "name": c.name,
+                "label": c.label,
+                "start": c.match.start,
+                "end": c.match.end,
+                "text": " ".join(toks[c.match.start : c.match.end]),
+            }
+            for c in (m.match.captures if is_event else m.match.named_captures())
+        ]
+        c_doc.append(m.doc_id)
+        c_sent.append(m.sent_id)
+        c_sha.append(shas[i])
+        c_label.append(m.label)
+        c_found.append(m.found_by)
+        c_start.append(m.start)
+        c_end.append(m.end)
+        c_text.append(" ".join(toks[m.start : m.end]))
+        c_isev.append(is_event)
+        c_tstart.append(m.match.trigger.start if is_event else None)
+        c_tend.append(m.match.trigger.end if is_event else None)
+        c_caps.append(caps)
+    if not c_doc:
+        # empty dict-of-lists would infer float64 columns, which Arrow can't
+        # cast to list<struct>; the empty-constructor keeps object dtype
+        return pd.DataFrame(columns=_MENTION_COLS)
+    return pd.DataFrame(
+        {
+            "doc_id": c_doc,
+            "sent_id": c_sent,
+            "content_sha": c_sha,
+            "label": c_label,
+            "found_by": c_found,
+            "start": c_start,
+            "end": c_end,
+            "text": c_text,
+            "is_event": c_isev,
+            "trigger_start": c_tstart,
+            "trigger_end": c_tend,
+            "captures": c_caps,
+        },
+        columns=_MENTION_COLS,
+    )
 
 
 def required_columns(extractors: Sequence[Extractor]) -> List[str]:
@@ -290,7 +365,9 @@ def extract_mentions_df(
             if len(pdf) == 0:
                 continue
             batch, doc_ids, sent_ids = batch_from_pandas(pdf, need_graph, need_inout)
-            raws = batch.raw_layers.get("raw") or batch.raw_layers.get("word")
+            raws = batch.raw_layers.get("raw")
+            if raws is None:
+                raws = batch.raw_layers.get("word")
             if use_state:
                 mentions = runner.extract_mentions(
                     batch, doc_ids, sent_ids, allow_trigger_overlaps, disable_match_selector
@@ -300,59 +377,10 @@ def extract_mentions_df(
                     batch, doc_ids, sent_ids, allow_trigger_overlaps, disable_match_selector
                 )
             shas = list(pdf["content_sha"]) if "content_sha" in pdf.columns else [None] * len(pdf)
-            sha_by_key = {
-                (doc_ids[i], sent_ids[i]): shas[i] for i in range(len(doc_ids))
-            }
             idx_by_key = {(doc_ids[i], sent_ids[i]): i for i in range(len(doc_ids))}
-            rows = []
-            for m in mentions:
-                i = idx_by_key[(m.doc_id, m.sent_id)]
-                toks = raws[i]
-                from ..match.matches import EventMatch
+            from ..match.matches import EventMatch
 
-                is_event = isinstance(m.match, EventMatch)
-                caps = []
-                if is_event:
-                    for c in m.match.captures:
-                        caps.append(
-                            {
-                                "name": c.name,
-                                "label": c.label,
-                                "start": c.match.start,
-                                "end": c.match.end,
-                                "text": " ".join(toks[c.match.start : c.match.end]),
-                            }
-                        )
-                    trig = (m.match.trigger.start, m.match.trigger.end)
-                else:
-                    for c in m.match.named_captures():
-                        caps.append(
-                            {
-                                "name": c.name,
-                                "label": c.label,
-                                "start": c.match.start,
-                                "end": c.match.end,
-                                "text": " ".join(toks[c.match.start : c.match.end]),
-                            }
-                        )
-                    trig = (None, None)
-                rows.append(
-                    {
-                        "doc_id": m.doc_id,
-                        "sent_id": m.sent_id,
-                        "content_sha": sha_by_key[(m.doc_id, m.sent_id)],
-                        "label": m.label,
-                        "found_by": m.found_by,
-                        "start": m.start,
-                        "end": m.end,
-                        "text": " ".join(toks[m.start : m.end]),
-                        "is_event": is_event,
-                        "trigger_start": trig[0],
-                        "trigger_end": trig[1],
-                        "captures": caps,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+            yield _mention_frame(mentions, idx_by_key, raws, shas, EventMatch)
 
     return sentences.mapInPandas(fn, MENTIONS_SCHEMA)
 

@@ -27,7 +27,7 @@ from ..plans import prefilter as pfmod
 from ..schema import MENTIONS_SCHEMA
 from ..testing import sentence_batch_from_docs
 from ..tokenizer.code_tokenizer import annotate_code, annotate_text, content_sha
-from .extract import _MENTION_COLS, _fan_out, _fields_used
+from .extract import _fan_out, _fields_used, _mention_frame
 
 # layers derivable from the raw text by the deterministic annotators — a term
 # constraint on these implies a substring occurrence in `text`
@@ -134,40 +134,9 @@ def extract_one_shot(
             else:
                 mentions = runner.extract_no_state(batch, doc_ids, sent_ids)
             idx = {(doc_ids[i], sent_ids[i]): i for i in range(len(doc_ids))}
-            rows = []
-            for m in mentions:
-                i = idx[(m.doc_id, m.sent_id)]
-                toks = batch.raw_layers["raw"][i]
-                is_event = isinstance(m.match, EventMatch)
-                caps = [
-                    {
-                        "name": c.name,
-                        "label": c.label,
-                        "start": c.match.start,
-                        "end": c.match.end,
-                        "text": " ".join(toks[c.match.start : c.match.end]),
-                    }
-                    for c in (
-                        m.match.captures if is_event else m.match.named_captures()
-                    )
-                ]
-                rows.append(
-                    {
-                        "doc_id": m.doc_id,
-                        "sent_id": m.sent_id,
-                        "content_sha": shas[i],
-                        "label": m.label,
-                        "found_by": m.found_by,
-                        "start": m.start,
-                        "end": m.end,
-                        "text": " ".join(toks[m.start : m.end]),
-                        "is_event": is_event,
-                        "trigger_start": m.match.trigger.start if is_event else None,
-                        "trigger_end": m.match.trigger.end if is_event else None,
-                        "captures": caps,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+            yield _mention_frame(
+                mentions, idx, batch.raw_layers["raw"], shas, EventMatch
+            )
 
     cols = ["doc_id", "text"] if not is_repos else ["repo", "path", "commit", "content"]
     return documents.select(*[c for c in cols if c in documents.columns]).mapInPandas(

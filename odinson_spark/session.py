@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # small single-split files still fan out to one task per core at the
+        # SCAN (no repartition shuffle; filters stay scan-side). On a real
+        # corpus with thousands of splits this is a no-op.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(int(cpus) if cpus.isdigit() else 32),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

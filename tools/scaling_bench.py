@@ -97,8 +97,17 @@ def main():
     )
     pairs = {}
     results = {}
-    for cores in (2, 8, 32):
-        results[cores] = run(cores, sf_dir)
+    # host CPU delivery fluctuates minute-to-minute (2-15x observed), so the
+    # core counts are run in INTERLEAVED rounds and each point takes its best
+    # round — a slow host minute then hurts one round everywhere instead of
+    # silently poisoning a single core count
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    for _ in range(rounds):
+        for cores in (2, 8, 32):
+            r = run(cores, sf_dir)
+            prev = results.get(cores)
+            if prev is None or r["secs"] < prev["secs"]:
+                results[cores] = r
     for lo, hi in ((2, 8), (8, 32)):
         speedup = results[lo]["secs"] / results[hi]["secs"]
         pairs[f"{lo}->{hi}"] = {
