@@ -219,6 +219,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_triple"] = event_triple
 
+    # --- end-to-end KG canonicalization (north rule) ---------------------------
+    def kg_canonical(s, d):
+        """The full downstream KG path, oracle-checked: triples → entity
+        surfaces → MinHash-LSH blocking (pipeline stage 1) → exact integer
+        char-3-gram jaccard scoring (stage 2) → connected-components
+        canonicalization (stage 3; DuckDB mirrors it with a recursive CTE).
+        Output: (surface, canonical) where canonical = min surface of the
+        equivalence class."""
+        from odinson_spark.pipeline.components import connected_components
+
+        extractors, _ = RuleReader().compile_rules(EVENT_GRAMMAR)
+        mentions = extract_one_shot(_t(s, d, "documents"), extractors)
+        triples = triples_from_mentions(mentions)
+        surfaces = (
+            triples.select(F.col("subj_text").alias("surface"))
+            .union(triples.select(F.col("obj_text").alias("surface")))
+            .distinct()
+        )
+        sdf = surfaces.select(
+            F.col("surface").alias("doc_id"), F.col("surface").alias("text")
+        )
+        cand = dd.minhash_lsh_pairs(sdf)
+
+        def grams(c):
+            padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+            return F.when(
+                F.length(padded) >= 3,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(padded) - 2),
+                        lambda i: padded.substr(i, F.lit(3)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        g = surfaces.select(
+            F.col("surface").alias("_s"), grams(F.col("surface")).alias("_g")
+        ).withColumn("_n", F.size("_g"))
+        scored = (
+            cand.join(
+                g.select(
+                    F.col("_s").alias("doc_a"),
+                    F.col("_g").alias("_ga"),
+                    F.col("_n").alias("_na"),
+                ),
+                "doc_a",
+            )
+            .join(
+                g.select(
+                    F.col("_s").alias("doc_b"),
+                    F.col("_g").alias("_gb"),
+                    F.col("_n").alias("_nb"),
+                ),
+                "doc_b",
+            )
+            .withColumn("_ni", F.size(F.array_intersect("_ga", "_gb")))
+            .withColumn(
+                "_jacc_e6",
+                F.expr("CAST(_ni AS BIGINT) * 1000000 DIV (_na + _nb - _ni)"),
+            )
+        )
+        kept = scored.filter(F.col("_jacc_e6") >= 500000).select("doc_a", "doc_b")
+        cc = connected_components(
+            surfaces, kept, id_col="surface", src_col="doc_a", dst_col="doc_b"
+        )
+        return cc.select(
+            F.col("id").alias("surface"), F.col("component").alias("canonical")
+        ).orderBy("surface")
+
+    q["kg_canonical"] = kg_canonical
+
     # --- cascade + state ----------------------------------------------------
     CASCADE = """
 rules:
@@ -263,6 +334,25 @@ rules:
         )
 
     q["search_after_topn"] = search_after_topn
+
+    # --- match highlighting (display layer) -----------------------------------
+    def highlight_spans(s, d):
+        from odinson_spark.pipeline.highlight import highlight_mentions
+        from odinson_spark.pipeline.extract import extract_mentions_df
+
+        sents = tokenize_documents(_t(s, d, "documents"))
+        extractors, _ = RuleReader().compile_rules(
+            "rules:\n  - name: q\n    type: basic\n    pattern: |\n      fast table\n"
+        )
+        m = extract_mentions_df(apply_prefilter(sents, extractors), extractors)
+        h = highlight_mentions(m, sents)
+        return h.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("start").alias("mstart"),
+            "highlighted",
+        ).orderBy("doc_id", "mstart")
+
+    q["highlight_spans"] = highlight_spans
 
     # --- metadata filter (Catalyst predicate + extraction) -------------------
     def metadata_filter(s, d):
@@ -558,6 +648,60 @@ SELECT * FROM (
 """
     )
 
+    # end-to-end KG canonicalization: surfaces from the event triples, the
+    # shared minhash CTE chain for blocking, integer jaccard scoring, and
+    # min-label connected components as a recursive CTE (UNION dedup makes
+    # the walk terminate on cycles; min over reachable labels = component)
+    o["kg_canonical"] = (
+        "WITH RECURSIVE "
+        + """
+tokall AS (
+  SELECT doc_id, t.tok AS tok, (t.i - 1)::INT AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+       LATERAL (SELECT unnest(d.ts) AS tok, generate_subscripts(d.ts, 1) AS i) t
+),
+surfaces AS (
+  SELECT DISTINCT s.tok AS doc_id, s.tok AS text
+  FROM tokall t JOIN tokall s ON s.doc_id = t.doc_id AND s.pos = t.pos - 1
+  WHERE t.tok = 'join'
+  UNION
+  SELECT DISTINCT ob.tok, ob.tok
+  FROM tokall t JOIN tokall ob ON ob.doc_id = t.doc_id AND ob.pos = t.pos + 1
+  WHERE t.tok = 'join'
+),
+"""
+        + dd.minhash_lsh_ctes(table="surfaces")
+        + """,
+gsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS ni
+  FROM lsh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY p.doc_a, p.doc_b
+),
+kept AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN gsz ga ON ga.doc_id = i.doc_a
+  JOIN gsz gb ON gb.doc_id = i.doc_b
+  WHERE i.ni * 1000000 // (ga.n + gb.n - i.ni) >= 500000
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM kept
+  UNION
+  SELECT doc_b, doc_a FROM kept
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM surfaces
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN sym e ON e.src = w.node
+)
+SELECT node AS surface, min(comp) AS canonical FROM walk
+GROUP BY node ORDER BY surface
+"""
+    )
+
     o["cascade_state"] = spans(
         """
 SELECT c.doc_id, c.pos AS mstart, (c.pos + 1)::INT AS mend, c.tok AS mtext
@@ -580,6 +724,33 @@ ORDER BY doc_id::VARCHAR, mstart
 LIMIT 10 OFFSET 10
 """
     )
+
+    # highlighting: rebuild the (100-token-capped) sentence around the span
+    o["highlight_spans"] = """
+WITH d AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 100) AS ts FROM documents
+),
+toks AS (
+  SELECT doc_id, t.tok AS tok, (t.i - 1)::INT AS pos
+  FROM d, LATERAL (SELECT unnest(d.ts) AS tok, generate_subscripts(d.ts, 1) AS i) t
+),
+hits AS (
+  SELECT a.doc_id, a.pos AS mstart, (a.pos + 2)::INT AS mend
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'fast' AND b.tok = 'table'
+)
+SELECT h.doc_id, h.mstart,
+       array_to_string(
+         list_concat(
+           list_concat(
+             d.ts[1:h.mstart],
+             ['<mark>' || array_to_string(d.ts[h.mstart + 1:h.mend], ' ') || '</mark>']
+           ),
+           d.ts[h.mend + 1:len(d.ts)]
+         ), ' ') AS highlighted
+FROM hits h JOIN d ON d.doc_id = h.doc_id
+ORDER BY h.doc_id, h.mstart
+"""
 
     o["metadata_filter"] = (
         """

@@ -136,7 +136,7 @@ class SentenceBatch:
             return pred
         vocab = f.vocab
         if isinstance(matcher, ast.StringMatcher):
-            if field_name == self.default_field:
+            if field_name == self.default_field or field_name == "norm_alt":
                 term = normalize_unicode_aggressively(matcher.string)
             else:
                 term = normalize_unicode(matcher.string)
@@ -159,6 +159,17 @@ class SentenceBatch:
         return pred
 
     def leaf_mask(self, sent_idx: int, field_name: str, matcher, fuzzy: bool = False) -> np.ndarray:
+        out = self._leaf_mask_one(sent_idx, field_name, matcher, fuzzy)
+        if field_name == self.default_field:
+            # synonym union (reference OdinsonIndexWriter.scala:174-182): the
+            # default field matches the normalized WORD variant (norm) OR the
+            # normalized RAW variant (norm_alt, stored only where different)
+            alt = self.raw_layers.get("norm_alt")
+            if alt is not None and alt[sent_idx] is not None:
+                out = out | self._leaf_mask_one(sent_idx, "norm_alt", matcher, fuzzy)
+        return out
+
+    def _leaf_mask_one(self, sent_idx: int, field_name: str, matcher, fuzzy: bool = False) -> np.ndarray:
         pred = self._vocab_pred(field_name, matcher, fuzzy)
         if field_name in MULTI_VALUED_FIELDS:
             f = self.multi_field(field_name)

@@ -177,19 +177,23 @@ def minhash_lsh_pairs(
     return pairs_small.union(pairs_star).distinct()
 
 
-def minhash_lsh_oracle_sql(
+def minhash_lsh_ctes(
     table: str = "documents",
     n_hashes: int = 16,
     bands: int = 2,
     k: int = 3,
     seed: int = 42,
 ) -> str:
-    """DuckDB SQL computing the identical candidate-pair set."""
+    """Composable DuckDB CTE chain (no WITH keyword) defining, over
+    ``{table}(doc_id, text)``: ``sh`` (distinct k-shingles) and
+    ``lsh_pairs(doc_a, doc_b)`` — the identical candidate-pair set the Spark
+    operator produces. Callers prepend their own CTEs and append a final
+    SELECT."""
     a, b = _hash_params(n_hashes, seed)
     r = n_hashes // bands
     values = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
     return f"""
-WITH params(k, a, b) AS (VALUES {values}),
+params(k, a, b) AS (VALUES {values}),
 docs AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM {table}),
 idx AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i FROM docs
@@ -206,11 +210,27 @@ bandkeys AS (
   SELECT doc_id, k // {r} AS band,
          string_agg(mh::VARCHAR, '-' ORDER BY k) AS band_key
   FROM sig GROUP BY doc_id, k // {r}
-)
-SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-FROM bandkeys x JOIN bandkeys y
-  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-"""
+),
+lsh_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)"""
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    n_hashes: int = 16,
+    bands: int = 2,
+    k: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL computing the identical candidate-pair set."""
+    return (
+        "WITH "
+        + minhash_lsh_ctes(table, n_hashes, bands, k, seed)
+        + "\nSELECT doc_a, doc_b FROM lsh_pairs"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ def _sentences_rows(doc_id, sha, lang, sentences) -> Iterator[dict]:
             "raw": s["raw"],
             "word": s["word"],
             "norm": s["norm"],
+            "norm_alt": s.get("norm_alt"),
             "lemma": s["lemma"],
             "tag": s["tag"],
             "chunk": s["chunk"],
@@ -135,14 +136,14 @@ def combined_prefilter(extractors: Sequence[Extractor]):
 
 def apply_prefilter(sentences: DataFrame, extractors: Sequence[Extractor]) -> DataFrame:
     pf = combined_prefilter(extractors)
-    return sentences.filter(to_spark_column(pf))
+    return sentences.filter(to_spark_column(pf, columns=sentences.columns))
 
 
 # ---------------------------------------------------------------------------
 # stage 3: match (mapInPandas)
 # ---------------------------------------------------------------------------
 
-_LAYER_NAMES = ("raw", "word", "norm", "lemma", "tag", "chunk", "entity")
+_LAYER_NAMES = ("raw", "word", "norm", "norm_alt", "lemma", "tag", "chunk", "entity")
 
 
 def _fields_used(programs) -> set:
@@ -330,6 +331,10 @@ def required_columns(extractors: Sequence[Extractor]) -> List[str]:
     cols += sorted(fields - {"raw"})
     if "norm" not in cols:
         cols.append("norm")
+    # the default field is a synonym union: norm (from word) + norm_alt
+    # (from raw, only where it differs)
+    if "norm" in cols and "norm_alt" not in cols:
+        cols.append("norm_alt")
     if _uses_graph(programs) or _fields_used(programs) & {"incoming", "outgoing"}:
         cols += ["deps_src", "deps_dst", "deps_label", "deps_roots"]
     return cols

@@ -197,7 +197,10 @@ def prefilter_of(p: prog.Prog, default_field: str = "norm") -> object:
 _FIELD_TO_COLUMN = {"incoming": "incoming_flat", "outgoing": "outgoing_flat"}
 
 
-def to_spark_column(pf):
+def to_spark_column(pf, columns=None):
+    """``columns``: the sentence table's column list, if known — enables the
+    norm synonym-union rendering (norm OR norm_alt) without breaking tables
+    that predate the norm_alt column."""
     from pyspark.sql import functions as F
 
     if isinstance(pf, PFTrue):
@@ -205,37 +208,47 @@ def to_spark_column(pf):
     if isinstance(pf, PFFalse):
         return F.lit(False)
     if isinstance(pf, PFTerm):
-        return F.array_contains(
+        col = F.array_contains(
             F.col(_FIELD_TO_COLUMN.get(pf.field, pf.field)), pf.value
         )
+        if pf.field == "norm" and columns is not None and "norm_alt" in columns:
+            # default field is a synonym union; norm_alt is null unless it
+            # differs from norm, hence the coalesce
+            col = col | F.coalesce(
+                F.array_contains(F.col("norm_alt"), pf.value), F.lit(False)
+            )
+        return col
     if isinstance(pf, PFEdge):
         return F.array_contains(F.col("outgoing_flat"), pf.label)
     if isinstance(pf, PFAnd):
-        col = to_spark_column(pf.subs[0])
+        col = to_spark_column(pf.subs[0], columns)
         for s in pf.subs[1:]:
-            col = col & to_spark_column(s)
+            col = col & to_spark_column(s, columns)
         return col
     if isinstance(pf, PFOr):
-        col = to_spark_column(pf.subs[0])
+        col = to_spark_column(pf.subs[0], columns)
         for s in pf.subs[1:]:
-            col = col | to_spark_column(s)
+            col = col | to_spark_column(s, columns)
         return col
     raise TypeError(f"unknown prefilter {pf!r}")
 
 
-def to_sql(pf) -> str:
+def to_sql(pf, columns=None) -> str:
     if isinstance(pf, PFTrue):
         return "TRUE"
     if isinstance(pf, PFFalse):
         return "FALSE"
     if isinstance(pf, PFTerm):
         v = pf.value.replace("'", "''")
-        return f"array_contains({_FIELD_TO_COLUMN.get(pf.field, pf.field)}, '{v}')"
+        sql = f"array_contains({_FIELD_TO_COLUMN.get(pf.field, pf.field)}, '{v}')"
+        if pf.field == "norm" and columns is not None and "norm_alt" in columns:
+            sql = f"({sql} OR coalesce(array_contains(norm_alt, '{v}'), FALSE))"
+        return sql
     if isinstance(pf, PFEdge):
         v = pf.label.replace("'", "''")
         return f"array_contains(outgoing_flat, '{v}')"
     if isinstance(pf, PFAnd):
-        return "(" + " AND ".join(to_sql(s) for s in pf.subs) + ")"
+        return "(" + " AND ".join(to_sql(s, columns) for s in pf.subs) + ")"
     if isinstance(pf, PFOr):
-        return "(" + " OR ".join(to_sql(s) for s in pf.subs) + ")"
+        return "(" + " OR ".join(to_sql(s, columns) for s in pf.subs) + ")"
     raise TypeError(f"unknown prefilter {pf!r}")

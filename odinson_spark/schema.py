@@ -46,6 +46,10 @@ SENTENCES_SCHEMA = StructType(
         StructField("raw", _AS),
         StructField("word", _AS),
         StructField("norm", _AS),
+        # synonym union (reference: OdinsonIndexWriter.scala:174-182 indexes
+        # casefolded variants of raw AND word at the same position): the
+        # normalized-RAW variant, present only when it differs from norm
+        StructField("norm_alt", _AS),
         StructField("lemma", _AS),
         StructField("tag", _AS),
         StructField("chunk", _AS),

@@ -53,11 +53,19 @@ def doc_to_sentences(doc: dict, max_tokens: int = 100) -> List[dict]:
         raw = [sanitize_token(normalize_unicode(t)) for t in raw]
         word = sent.get("word") or raw
         word = [sanitize_token(normalize_unicode(t)) for t in word]
+        norm = [normalize_unicode_aggressively(t) for t in word]
+        # synonym union (OdinsonIndexWriter.scala:174-182): when the raw
+        # variant normalizes differently from word (NLP pipelines may emit
+        # corrected word forms), index BOTH at the same position
+        norm_alt = [normalize_unicode_aggressively(t) for t in raw]
+        if norm_alt == norm or len(norm_alt) != len(norm):
+            norm_alt = None
         row = {
             "sent_id": sent_id,
             "raw": raw,
             "word": word,
-            "norm": [normalize_unicode_aggressively(t) for t in word],
+            "norm": norm,
+            "norm_alt": norm_alt,
             "lemma": [normalize_unicode(t) for t in sent.get("lemma") or []] or None,
             "tag": [normalize_unicode(t) for t in sent.get("tag") or []] or None,
             "chunk": list(sent.get("chunk") or []) or None,

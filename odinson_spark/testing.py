@@ -38,6 +38,7 @@ def sentence_batch_from_docs(
         layer_names = layer_names + ("incoming", "outgoing")
     layers: Dict[str, list] = {k: [] for k in layer_names}
     layers["norm"] = []
+    layers["norm_alt"] = []
     num_tokens = []
     edges = []
     roots = []
@@ -48,9 +49,13 @@ def sentence_batch_from_docs(
         num_tokens.append(len(raw))
         layers["raw"].append(raw)
         layers["word"].append(word)
-        # norm merges raw+word normalized variants; here: normalized word
-        # (raw==word in all reference fixtures)
-        layers["norm"].append([normalize_unicode_aggressively(t) for t in word])
+        # norm is the synonym union of raw+word normalized variants: the
+        # norm layer holds the word variant, norm_alt the raw variant where
+        # it differs (None otherwise — raw==word in all reference fixtures)
+        norm = [normalize_unicode_aggressively(t) for t in word]
+        norm_alt = [normalize_unicode_aggressively(t) for t in raw]
+        layers["norm"].append(norm)
+        layers["norm_alt"].append(norm_alt if norm_alt != norm else None)
         for k in ("lemma", "tag", "chunk", "entity"):
             v = s.get(k)
             layers[k].append([normalize_unicode(t) for t in v] if v else None)

@@ -86,6 +86,57 @@ def test_inout_token_constraint_prefilter(spark):
     assert sorted((r.doc_id, r.start) for r in m) == [("1", 1), ("1", 2)]
 
 
+# --- norm synonym union (raw + word variants at the same position) -----------
+
+
+def test_norm_synonym_union_raw_and_word(spark, tmp_path):
+    # reference indexes normalized variants of BOTH raw and word as
+    # same-position synonyms (OdinsonIndexWriter.scala:174-182); a corpus
+    # where an NLP pipeline corrected word ("schoen") away from raw ("Schön")
+    # must match [norm=...] queries against either variant
+    import json
+
+    from odinson_spark.sources.document_json import read_document_json
+
+    doc = {
+        "id": "d1",
+        "sentences": [
+            {
+                "numTokens": 2,
+                "fields": [
+                    {
+                        "$type": "ai.lum.odinson.TokensField",
+                        "name": "raw",
+                        "tokens": ["Schön", "tag"],
+                    },
+                    {
+                        "$type": "ai.lum.odinson.TokensField",
+                        "name": "word",
+                        "tokens": ["schoen", "tag"],
+                    },
+                ],
+            }
+        ],
+    }
+    p = tmp_path / "docs.jsonl"
+    p.write_text(json.dumps(doc) + "\n")
+    sents = read_document_json(spark, str(p))
+    for term, expect in (("schoen", 1), ("schon", 1), ("SCHÖN", 1), ("nope", 0)):
+        extractors = _grammar(f"[norm={term}]")
+        # through the staged path WITH the prefilter: both the scan filter
+        # and the matcher must honor the union
+        m = extract_mentions_df(apply_prefilter(sents, extractors), extractors)
+        assert m.count() == expect, term
+
+
+def test_norm_alt_absent_for_deterministic_tokenizers(spark):
+    docs = spark.createDataFrame(
+        [(1, "plain text here", "en")], "doc_id long, text string, lang string"
+    )
+    rows = tokenize_documents(docs).select("norm_alt").collect()
+    assert all(r.norm_alt is None for r in rows)
+
+
 # --- metadata string matching normalizes both sides ---------------------------
 
 
