@@ -20,9 +20,32 @@ def normalize_unicode(s: str) -> str:
     return unicodedata.normalize("NFKC", s)
 
 
+# ASCII transliteration for symbols/ligatures NFKC doesn't decompose —
+# parity with the reference's aggressive normalization equivalence classes
+# (foundations/TestUnicodeNormalization.scala: ½≡1/2, Œtker™≡OEtker(TM),
+# “quotes”≡"quotes", •≡-). Applied before NFKC (™ would otherwise become
+# "tm", losing the parens) and again after (NFKC(½) emits U+2044 ⁄).
+_TRANSLIT = str.maketrans(
+    {
+        "“": '"', "”": '"', "„": '"', "‟": '"',
+        "‘": "'", "’": "'", "‚": "'", "‛": "'",
+        "–": "-", "—": "-", "‒": "-", "―": "-",
+        "‐": "-", "‑": "-", "•": "-",
+        "™": "(tm)", "℠": "(sm)", "©": "(c)", "®": "(r)",
+        "œ": "oe", "Œ": "OE", "æ": "ae", "Æ": "AE",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+        "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+        "ł": "l", "Ł": "L",
+        "⁄": "/",
+    }
+)
+
+
 def normalize_unicode_aggressively(s: str) -> str:
-    """NFKC + casefold + diacritics stripped."""
+    """NFKC + casefold + diacritics stripped + ASCII transliteration."""
+    s = s.translate(_TRANSLIT)
     s = unicodedata.normalize("NFKC", s).casefold()
+    s = s.translate(_TRANSLIT)
     s = unicodedata.normalize("NFKD", s)
     s = "".join(c for c in s if not unicodedata.combining(c))
     return unicodedata.normalize("NFKC", s)

@@ -193,9 +193,8 @@ def _package_argument(spec, all_matches: List[BaseMatch]) -> List[List[NamedCapt
             packages = [matches]
     else:
         packages = [] if len(matches) < mn else [matches]
-    return [
-        [NamedCaptureView(spec.name, spec.label, m) for m in pkg] for pkg in packages
-    ]
+    name, label = spec.name, spec.label
+    return [[NamedCaptureView(name, label, m) for m in pkg] for pkg in packages]
 
 
 def _group_matches(matches: Sequence[BaseMatch]) -> List[List[BaseMatch]]:

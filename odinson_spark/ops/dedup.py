@@ -405,10 +405,71 @@ def _cosine_pandas_udf():
     return cos
 
 
+def embedding_cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 7,
+    n_probes: int | None = None,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """LSH-bucketed cosine pairs — the scale path for
+    :func:`embedding_cosine_pairs`: candidates are restricted to vectors
+    sharing a (multi-probed) hyperplane bucket, so the cross product becomes
+    a shuffle-partitionable equi-join. Approximate: only pairs differing in
+    ≤1 hyperplane sign are candidates, so recall is ~complete at NEAR-DUP
+    thresholds (cosine ≥ ~0.9, the dedup use case — measured full recall on
+    clustered data) but collapses at moderate thresholds (measured ~2% at
+    cosine 0.3 on random vectors; P(per-plane sign agreement) =
+    1 - arccos(cos)/π). For broad-threshold pair mining use minhash
+    blocking on content instead."""
+    import warnings
+
+    if threshold < 0.7:
+        warnings.warn(
+            f"hyperplane-LSH pair recall degrades sharply below cosine ~0.7 "
+            f"(threshold={threshold}); most qualifying pairs will be missed "
+            f"— use a near-dup threshold or minhash blocking",
+            RuntimeWarning,
+        )
+    from .similarity import add_lsh_bucket
+
+    b = add_lsh_bucket(embeddings, dim, n_planes, seed)
+    if n_probes is None:
+        n_probes = n_planes
+    left = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)],
+            )
+        ).alias("bucket"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        "bucket",
+    )
+    counts = right.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    right = right.join(counts, "bucket").filter(F.col("_n") <= max_bucket_size).drop("_n")
+    cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     max_broadcast_rows: int = 2_000_000,
+    on_overflow: str = "lsh",
 ) -> DataFrame:
     """Brute-force pairwise cosine ≥ threshold.
 
@@ -418,12 +479,18 @@ def embedding_cosine_pairs(
     A pair-materializing join would move O(n²) vector copies through the
     shuffle/Arrow layer — 100× more bytes than the surviving pairs.
 
-    Guard: refuses above ``max_broadcast_rows`` (at that scale use
-    minhash/LSH blocking or :func:`odinson_spark.ops.similarity.lsh_ann_topk`
-    — brute force is the correctness baseline, not the scale path)."""
+    Above ``max_broadcast_rows`` the exact path can't broadcast; by default
+    the call ROUTES to :func:`embedding_cosine_pairs_lsh` (approximate,
+    same output schema) instead of failing mid-pipeline. Set
+    ``on_overflow="raise"`` to force the exact-or-nothing behavior."""
     spark = embeddings.sparkSession
     n_rows = embeddings.count()
     if n_rows > max_broadcast_rows:
+        if on_overflow == "lsh":
+            dim = len(
+                embeddings.select("embedding").first()["embedding"]
+            )
+            return embedding_cosine_pairs_lsh(embeddings, threshold, dim=dim)
         raise ValueError(
             f"{n_rows} vectors exceeds brute-force broadcast limit; use LSH blocking"
         )

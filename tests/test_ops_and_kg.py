@@ -182,4 +182,27 @@ def test_embedding_cosine_guard(spark):
         [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<double>"
     )
     with pytest.raises(ValueError):
-        embedding_cosine_pairs(emb, max_broadcast_rows=5)
+        embedding_cosine_pairs(emb, max_broadcast_rows=5, on_overflow="raise")
+
+
+def test_embedding_cosine_overflow_routes_to_lsh(spark):
+    import numpy as np
+
+    # near-identical clustered vectors: every true pair has cosine ~1, so the
+    # LSH route must recover the exact result even above the broadcast cap
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(4, 16))
+    rows = [
+        (i, (centers[i % 4] + 0.01 * rng.normal(size=16)).tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.99).collect()
+    }
+    routed = embedding_cosine_pairs(emb, threshold=0.99, max_broadcast_rows=5)
+    got = {(r.vec_a, r.vec_b) for r in routed.collect()}
+    assert exact, "test needs non-empty ground truth"
+    # high-threshold pairs share all hyperplane signs -> full recall here
+    assert got == exact
