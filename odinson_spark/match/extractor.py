@@ -38,6 +38,22 @@ class Mention:
     def key(self) -> Tuple:
         return (self.doc_id, self.sent_id, self.label, self.start, self.end, self.found_by)
 
+    def state_key(self) -> Tuple:
+        """Identity used by the reference's mention state: MemoryState keys
+        buckets by (doc, sent, label) and its SortedSet ordering
+        (MemoryState.scala:122-144) compares only match.start and the min
+        capture start — end and foundBy do NOT distinguish mentions, so a
+        promoted argument identical to an existing state mention is dropped
+        rather than double-added. The reference StateMatch retains
+        namedCaptures through conversion (OdinsonMatch.scala), so the capture
+        positions come from the Mention's arguments, which survive our
+        conversion too."""
+        starts = [a.start for args in self.arguments.values() for a in args]
+        if not starts and self.match is not None:
+            starts = [c.match.start for c in self.match.named_captures()]
+        min_cap = min(starts, default=self.start)
+        return (self.doc_id, self.sent_id, self.label, self.start, min_cap)
+
 
 def _mention_from_match(
     m: BaseMatch, doc_id: str, sent_id: int, extractor: Extractor
@@ -177,10 +193,16 @@ class BatchExtractor:
             processed: List[Mention] = []
             for m in filtered:
                 processed.extend(_promote(m, using_state=True))
-            new = [m for m in processed if m.key() not in seen]
+            new = []
+            batch_keys = set()
+            for m in processed:
+                k = m.state_key()
+                if k not in seen and k not in batch_keys:
+                    batch_keys.add(k)
+                    new.append(m)
             if new:
                 for m in new:
-                    seen.add(m.key())
+                    seen.add(m.state_key())
                     state.append(m)
                     if m.label:
                         i = sent_index[(m.doc_id, m.sent_id)]
