@@ -238,6 +238,67 @@ def compile_metadata_query(query: str, field_prefix: str = ""):
     return _compile(expr, field_prefix)
 
 
+_MONTHS = (
+    "january february march april may june july august september october "
+    "november december"
+).split()
+
+
+def _month_number(s: str) -> int:
+    """Month-name argument of date(): full names or unambiguous prefixes
+    (≥3 chars), case-insensitive (reference: date(2015, 'Mar', 25))."""
+    key = s.strip().lower()
+    if len(key) >= 3:
+        for i, name in enumerate(_MONTHS):
+            if name.startswith(key):
+                return i + 1
+    raise ValueError(f"unknown month name {s!r}")
+
+
+import re as _re
+
+_REGEX_PART = _re.compile(r"^/(.+)/$")
+
+
+def _phrase_regex(value: str):
+    """The reference allows /regex/ tokens inside metadata string values
+    ('Jose /Ma.*/'): each whitespace part matches one token, regex parts
+    full-match their token. Returns an anchored case-blind pattern over the
+    folded joined-token string, or None if the value has no regex parts."""
+    parts = value.split()
+    if not any(_REGEX_PART.match(p) for p in parts):
+        return None
+    out = []
+    for p in parts:
+        m = _REGEX_PART.match(p)
+        if m:
+            out.append(f"(?:{m.group(1)})")
+        else:
+            out.append(_re.escape(normalize_unicode_aggressively(p)))
+    return "(?i)^" + " ".join(out) + "$"
+
+
+def _string_eq(col_folded, sval: "StringValue"):
+    """Exact text-metadata equality: whole joined-token string equality, or
+    anchored per-token regex when the value embeds /regex/ parts."""
+    from pyspark.sql import functions as F
+
+    pattern = _phrase_regex(sval.s)
+    if pattern is not None:
+        return col_folded.rlike(pattern)
+    return col_folded == F.lit(sval.norm)
+
+
+def _string_contains(col_folded, sval: "StringValue"):
+    """Token-boundary phrase containment (the reference compiles contains to
+    a Lucene phrase query over tokens): 'Jose' matches within 'Jose Manuel',
+    'Manuel Jose' and partial tokens ('ose') do not."""
+    from pyspark.sql import functions as F
+
+    padded = F.concat(F.lit(" "), col_folded, F.lit(" "))
+    return padded.contains(F.lit(" " + sval.norm + " "))
+
+
 def _value_col(v, field_prefix: str):
     from pyspark.sql import functions as F
 
@@ -259,7 +320,14 @@ def _value_col(v, field_prefix: str):
         return F.col(field_prefix + v.name)
     if isinstance(v, FunCall):
         if v.name == "date":
-            args = [int(a.n) for a in v.args if isinstance(a, NumberValue)]
+            args = []
+            for a in v.args:
+                if isinstance(a, NumberValue):
+                    args.append(int(a.n))
+                elif isinstance(a, StringValue):
+                    args.append(_month_number(a.s))
+                else:
+                    raise ValueError(f"bad date() argument {a!r}")
             y = args[0]
             m = args[1] if len(args) > 1 else 1
             d = args[2] if len(args) > 2 else 1
@@ -282,16 +350,26 @@ def _compile(e, field_prefix: str):
             col = col & _compile(c, field_prefix)
         return col
     if isinstance(e, NotExpr):
-        return ~_compile(e.expr, field_prefix)
+        from pyspark.sql import functions as F
+
+        # negation is "does NOT match the positive filter" (Lucene MUST_NOT):
+        # a document missing the field must satisfy the negation, but Spark's
+        # three-valued ~NULL is NULL and would drop it — coalesce first
+        return ~F.coalesce(_compile(e.expr, field_prefix), F.lit(False))
     if isinstance(e, Cmp):
-        lhs = _value_col(e.lhs, field_prefix)
-        rhs = _value_col(e.rhs, field_prefix)
         # string comparisons are aggressively normalized on BOTH sides: the
         # reference normalizes metadata strings at index AND query time
         # (metadata/Ast.scala:22-25, OdinsonIndexWriter.scala:243). The query
         # literal side used .norm (Python); the column side gets the
         # Catalyst-expression equivalent (lower + diacritic fold) so e.g.
-        # character == 'mr darcy' matches a stored 'Mr Darçy'.
+        # character == 'mr darcy' matches a stored 'Mr Darçy'. Equality also
+        # supports the reference's /regex/ token parts.
+        if e.op == "==" and isinstance(e.rhs, StringValue) and not isinstance(e.lhs, StringValue):
+            return _string_eq(fold_string_column(_value_col(e.lhs, field_prefix)), e.rhs)
+        if e.op == "==" and isinstance(e.lhs, StringValue) and not isinstance(e.rhs, StringValue):
+            return _string_eq(fold_string_column(_value_col(e.rhs, field_prefix)), e.lhs)
+        lhs = _value_col(e.lhs, field_prefix)
+        rhs = _value_col(e.rhs, field_prefix)
         if isinstance(e.rhs, StringValue) and not isinstance(e.lhs, StringValue):
             lhs = fold_string_column(lhs)
         if isinstance(e.lhs, StringValue) and not isinstance(e.rhs, StringValue):
@@ -319,10 +397,8 @@ def _compile(e, field_prefix: str):
 
         return F.exists(F.col(field_prefix + e.name), pred)
     if isinstance(e, Contains):
-        from pyspark.sql import functions as F
-
         col = fold_string_column(_value_col(e.field, field_prefix))
-        return col.contains(F.lit(e.value.norm))
+        return _string_contains(col, e.value)
     raise TypeError(f"unknown expression {e!r}")
 
 
@@ -340,8 +416,13 @@ def _compile_nested(e, s):
             col = col & _compile_nested(c, s)
         return col
     if isinstance(e, NotExpr):
-        return ~_compile_nested(e.expr, s)
+        return ~F.coalesce(_compile_nested(e.expr, s), F.lit(False))
     if isinstance(e, Cmp):
+        if e.op == "==" and isinstance(e.rhs, StringValue) and isinstance(e.lhs, FieldValue):
+            return _string_eq(fold_string_column(s[e.lhs.name]), e.rhs)
+        if e.op == "==" and isinstance(e.lhs, StringValue) and isinstance(e.rhs, FieldValue):
+            return _string_eq(fold_string_column(s[e.rhs.name]), e.lhs)
+
         def val(v, other):
             if isinstance(v, FieldValue):
                 col = s[v.name]
@@ -357,5 +438,5 @@ def _compile_nested(e, s):
             "==": lhs == rhs,
         }[e.op]
     if isinstance(e, Contains):
-        return fold_string_column(s[e.field.name]).contains(e.value.norm)
+        return _string_contains(fold_string_column(s[e.field.name]), e.value)
     raise TypeError(f"unsupported nested expression {e!r}")

@@ -92,15 +92,69 @@ def _fill_layers(rows: List[dict]) -> List[dict]:
     return rows
 
 
+def _meta_values(meta_list):
+    """Reference metadata fields (OdinsonDocument.scala:137-199) → a
+    canonical JSON-able dict + a field→kind map. TokensField values are
+    joined with single spaces (the reference compares text metadata as
+    token phrases; the joined form plus token-boundary matching reproduces
+    that); NestedFields accumulate into a list of objects so repeated names
+    (several authors) become one array column queried with exists()."""
+    vals: Dict[str, object] = {}
+    kinds: Dict[str, str] = {}
+    for f in meta_list or []:
+        t = f.get("$type", "")
+        name = f.get("name")
+        if not name:
+            continue
+        if t.endswith("TokensField"):
+            vals[name] = " ".join(f.get("tokens") or [])
+            kinds[name] = "tokens"
+        elif t.endswith("StringField"):
+            vals[name] = str(f.get("string", ""))
+            kinds[name] = "string"
+        elif t.endswith("NumberField"):
+            vals[name] = float(f.get("value", 0.0))
+            kinds[name] = "number"
+        elif t.endswith("DateField"):
+            vals[name] = str(f.get("date"))
+            kinds[name] = "date"
+        elif t.endswith("NestedField"):
+            inner, _ = _meta_values(f.get("fields"))
+            vals.setdefault(name, []).append(inner)
+            kinds[name] = "nested"
+    return vals, kinds
+
+
+_SENTENCES_META_SCHEMA = None
+
+
+def _sentences_meta_schema():
+    global _SENTENCES_META_SCHEMA
+    if _SENTENCES_META_SCHEMA is None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        _SENTENCES_META_SCHEMA = StructType(
+            list(SENTENCES_SCHEMA.fields)
+            + [StructField("meta_json", StringType()), StructField("meta_kinds_json", StringType())]
+        )
+    return _SENTENCES_META_SCHEMA
+
+
 def read_document_json(
-    spark: SparkSession, path: str, max_tokens: int = 100
+    spark: SparkSession, path: str, max_tokens: int = 100, expand_metadata: bool = True
 ) -> DataFrame:
-    """Path of JSON-lines files (one Document per line) → sentences DF."""
+    """Path of JSON-lines files (one Document per line) → sentences DF.
+
+    With ``expand_metadata`` (default), document metadata fields become typed
+    ``meta_*`` columns (tokens → string, number → double, date → date,
+    nested → array<struct>) replicated on every sentence row of the doc, so
+    the metadata query language filters them scan-side."""
     lines = spark.read.text(path)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        schema = _sentences_meta_schema()
         for pdf in batches:
             rows = []
             for line in pdf["value"]:
@@ -110,12 +164,39 @@ def read_document_json(
                 doc = json.loads(line)
                 sentences = _fill_layers(doc_to_sentences(doc, max_tokens))
                 sha = hashlib.sha256(line.encode("utf-8")).hexdigest()
-                rows.extend(
-                    _sentences_rows(str(doc.get("id")), sha, None, sentences)
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES_SCHEMA.fields])
+                vals, kinds = _meta_values(doc.get("metadata"))
+                mj, mk = json.dumps(vals), json.dumps(kinds)
+                for r in _sentences_rows(str(doc.get("id")), sha, None, sentences):
+                    r["meta_json"] = mj
+                    r["meta_kinds_json"] = mk
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return lines.mapInPandas(fn, SENTENCES_SCHEMA)
+    df = lines.mapInPandas(fn, _sentences_meta_schema())
+    if not expand_metadata:
+        return df.drop("meta_json", "meta_kinds_json")
+    from pyspark.sql import functions as F
+
+    # corpus metadata schemas vary per corpus: infer the union schema from
+    # the canonical JSON (one extra scan over the small metadata strings)
+    meta_schema = spark.read.json(
+        df.select("meta_json").rdd.map(lambda r: r[0] or "{}")
+    ).schema
+    fields = [f.name for f in meta_schema.fields if not f.name.startswith("_corrupt")]
+    if fields:
+        kind_rows = (
+            df.select(F.explode(F.from_json("meta_kinds_json", "map<string,string>")))
+            .distinct()
+            .collect()
+        )
+        kinds = {r[0]: r[1] for r in kind_rows}
+        m = F.from_json("meta_json", meta_schema)
+        for name in fields:
+            col = m[name]
+            if kinds.get(name) == "date":
+                col = F.to_date(col)
+            df = df.withColumn(f"meta_{name}", col)
+    return df.drop("meta_json", "meta_kinds_json")
 
 
 # ---------------------------------------------------------------------------

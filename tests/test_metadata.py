@@ -51,10 +51,15 @@ def test_date_function(meta_df):
 
 def test_contains_and_normalization(meta_df):
     # aggressive normalization: casefold + diacritics on both sides is the
-    # reference behavior for metadata strings (metadata/Ast.scala:22-25);
-    # casefolding is applied to both sides here
-    assert ids(meta_df, "surname contains 'gonza'") == [1, 2]
-    assert ids(meta_df, "surname not contains 'gonza'") == [3]
+    # reference behavior for metadata strings (metadata/Ast.scala:22-25).
+    # contains is a token-boundary PHRASE match (the reference compiles it
+    # to a Lucene phrase query) — partial tokens do not match.
+    assert ids(meta_df, "surname contains 'gonzalez'") == [1, 2]
+    assert ids(meta_df, "surname contains 'GONZÁLEZ'".replace("á", "a")) == [1, 2]
+    assert ids(meta_df, "surname contains 'gonza'") == []
+    assert ids(meta_df, "surname not contains 'gonza'") == [1, 2, 3]
+    assert ids(meta_df, "surname contains 'müller'") == [3]
+    assert ids(meta_df, "surname contains 'muller'") == [3]
 
 
 def test_nested_block(meta_df):
