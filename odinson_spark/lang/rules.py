@@ -121,12 +121,28 @@ class RuleReader:
         text: str,
         variables: Optional[Dict[str, str]] = None,
         base_dir: Optional[Path] = None,
+        _hard_vars: Optional[Dict[str, str]] = None,
+        _seen_paths: Optional[frozenset] = None,
     ) -> Tuple[List[Rule], Optional[str]]:
+        """Variable precedence mirrors the reference (TestRuleFile.scala:
+        'hard-coded > import > parent > local'): caller-supplied variables
+        trump import-site vars, which trump the parent file's vars, which
+        trump the imported file's own vars."""
+        if _hard_vars is None:
+            _hard_vars = dict(variables or {})  # top-level caller vars
         data = yaml.safe_load(text) or {}
-        file_vars = _normalize_vars(data.get("vars"))
+        raw_vars = data.get("vars")
+        if isinstance(raw_vars, str):
+            # `vars: vars.yml` — variables imported from a YAML file
+            # (RuleReader.scala:373-385)
+            if base_dir is None:
+                raise ValueError("vars file import used without a base directory")
+            path = base_dir / substitute_vars(raw_vars, variables or {})
+            raw_vars = yaml.safe_load(path.read_text())
+        file_vars = _normalize_vars(raw_vars)
         merged = dict(file_vars)
         if variables:
-            merged.update(variables)  # parent vars win (import-site override)
+            merged.update(variables)  # parent/import-site/hard-coded win
         metadata_filter = data.get("metadataFilters")
         rules: List[Rule] = []
         for entry in data.get("rules", []) or []:
@@ -135,9 +151,15 @@ class RuleReader:
                     raise ValueError("import used without a base directory")
                 import_vars = dict(merged)
                 import_vars.update(_normalize_vars(entry.get("vars")))
+                import_vars.update(_hard_vars)  # hard-coded trumps all
                 path = base_dir / substitute_vars(str(entry["import"]), import_vars)
+                resolved = path.resolve()
+                seen = _seen_paths or frozenset()
+                if resolved in seen:
+                    raise ValueError(f"circular rule-file import: {path}")
                 sub_rules, _ = self.rules_from_string(
-                    path.read_text(), import_vars, path.parent
+                    path.read_text(), import_vars, path.parent, _hard_vars,
+                    seen | {resolved},
                 )
                 rules.extend(sub_rules)
                 continue
