@@ -40,6 +40,19 @@ def test_negation_operator(example_docs, pattern, expected):
     assert match_strings(example_docs, "becky-gummy-bears-v2", pattern) == expected
 
 
+# --- parser: underscore identifiers (compiler/TestParser.scala) ---------------
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["_", "_test", "[word=_]", "[word=_test]", "a >_ b", "a >_test b"],
+)
+def test_parser_underscore_identifiers(query):
+    from odinson_spark.lang.parser import QueryParser
+
+    QueryParser().parse(query)  # must not raise
+
+
 # --- unicode normalization equivalence classes --------------------------------
 
 
