@@ -50,7 +50,7 @@ def test_negation_operator(example_docs, pattern, expected):
 def test_parser_underscore_identifiers(query):
     from odinson_spark.lang.parser import QueryParser
 
-    QueryParser().parse(query)  # must not raise
+    QueryParser().parse_basic_query(query)  # must not raise
 
 
 # --- unicode normalization equivalence classes --------------------------------
