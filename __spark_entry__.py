@@ -400,7 +400,12 @@ rules:
         )
 
     q["ann_topk"] = ann_topk
-    q["ann_lsh"] = lambda s, d: sim.lsh_ann_topk(_t(s, d, "embeddings"), k=5).orderBy(
+    # n_planes pinned to 10 so the inlined-literal oracle is reproducible;
+    # the production default (n_planes=None) derives the count from corpus
+    # size (similarity.derive_n_planes)
+    q["ann_lsh"] = lambda s, d: sim.lsh_ann_topk(
+        _t(s, d, "embeddings"), k=5, n_planes=10
+    ).orderBy(
         "query_id", "rank"
     )  # fully hash-checked: integer planes + quantized dots are inlined
     # as SQL literals in lsh_ann_oracle_sql

@@ -260,10 +260,10 @@ import re as _re
 _REGEX_PART = _re.compile(r"^/(.+)/$")
 
 
-def _phrase_regex(value: str):
+def _phrase_regex_body(value: str):
     """The reference allows /regex/ tokens inside metadata string values
     ('Jose /Ma.*/'): each whitespace part matches one token, regex parts
-    full-match their token. Returns an anchored case-blind pattern over the
+    full-match their token. Returns the case-blind phrase body over the
     folded joined-token string, or None if the value has no regex parts."""
     parts = value.split()
     if not any(_REGEX_PART.match(p) for p in parts):
@@ -275,7 +275,12 @@ def _phrase_regex(value: str):
             out.append(f"(?:{m.group(1)})")
         else:
             out.append(_re.escape(normalize_unicode_aggressively(p)))
-    return "(?i)^" + " ".join(out) + "$"
+    return " ".join(out)
+
+
+def _phrase_regex(value: str):
+    body = _phrase_regex_body(value)
+    return None if body is None else "(?i)^" + body + "$"
 
 
 def _string_eq(col_folded, sval: "StringValue"):
@@ -292,9 +297,15 @@ def _string_eq(col_folded, sval: "StringValue"):
 def _string_contains(col_folded, sval: "StringValue"):
     """Token-boundary phrase containment (the reference compiles contains to
     a Lucene phrase query over tokens): 'Jose' matches within 'Jose Manuel',
-    'Manuel Jose' and partial tokens ('ose') do not."""
+    'Manuel Jose' and partial tokens ('ose') do not. /regex/ token parts are
+    allowed, same as == (TestOdinsonMetadataQuery.scala:36-43
+    "character contains '/S.*/ Agent'")."""
     from pyspark.sql import functions as F
 
+    body = _phrase_regex_body(sval.s)
+    if body is not None:
+        # unanchored phrase at token boundaries
+        return col_folded.rlike(r"(?i)(?:^|(?<= ))" + body + r"(?= |$)")
     padded = F.concat(F.lit(" "), col_folded, F.lit(" "))
     return padded.contains(F.lit(" " + sval.norm + " "))
 

@@ -116,6 +116,19 @@ class RuleReader:
     def __init__(self, compiler: Optional[PatternCompiler] = None):
         self.compiler = compiler or PatternCompiler()
 
+    @classmethod
+    def with_extra_token_fields(cls, extra_token_fields: Sequence[str]) -> "RuleReader":
+        """Reader whose parser accepts user-configured token fields on top of
+        the built-ins (reference allTokenFields, reference.conf:46-57)."""
+        if not extra_token_fields:
+            return cls()
+        from .parser import ALL_TOKEN_FIELDS, QueryParser
+
+        fields = ALL_TOKEN_FIELDS + tuple(
+            f for f in extra_token_fields if f not in ALL_TOKEN_FIELDS
+        )
+        return cls(PatternCompiler(QueryParser(all_token_fields=fields)))
+
     def rules_from_string(
         self,
         text: str,

@@ -409,10 +409,11 @@ def embedding_cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
     dim: int = 64,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     seed: int = 7,
     n_probes: int | None = None,
     max_bucket_size: int = 100_000,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """LSH-bucketed cosine pairs — the scale path for
     :func:`embedding_cosine_pairs`: candidates are restricted to vectors
@@ -433,8 +434,13 @@ def embedding_cosine_pairs_lsh(
             f"— use a near-dup threshold or minhash blocking",
             RuntimeWarning,
         )
-    from .similarity import add_lsh_bucket
+    from .similarity import _cap_buckets, add_lsh_bucket, derive_n_planes
 
+    if n_planes is None:
+        # scale-safe default: plane count derived from corpus size so bucket
+        # occupancy stays near target_bucket_size (a fixed count goes empty
+        # under the cap at high cardinality)
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
     b = add_lsh_bucket(embeddings, dim, n_planes, seed)
     if n_probes is None:
         n_probes = n_planes
@@ -453,8 +459,7 @@ def embedding_cosine_pairs_lsh(
         F.col("embedding").cast("array<double>").alias("vb"),
         "bucket",
     )
-    counts = right.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-    right = right.join(counts, "bucket").filter(F.col("_n") <= max_bucket_size).drop("_n")
+    right = _cap_buckets(right, max_bucket_size, "embedding_cosine_pairs_lsh")
     cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
     return (
         left.join(right, "bucket")
@@ -469,7 +474,7 @@ def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     max_broadcast_rows: int = 2_000_000,
-    on_overflow: str = "lsh",
+    on_overflow: str = "auto",
 ) -> DataFrame:
     """Brute-force pairwise cosine ≥ threshold.
 
@@ -479,18 +484,34 @@ def embedding_cosine_pairs(
     A pair-materializing join would move O(n²) vector copies through the
     shuffle/Arrow layer — 100× more bytes than the surviving pairs.
 
-    Above ``max_broadcast_rows`` the exact path can't broadcast; by default
-    the call ROUTES to :func:`embedding_cosine_pairs_lsh` (approximate,
-    same output schema) instead of failing mid-pipeline. Set
-    ``on_overflow="raise"`` to force the exact-or-nothing behavior."""
+    Above ``max_broadcast_rows`` the exact path can't broadcast.
+    ``on_overflow`` decides what happens then:
+
+    * ``"auto"`` (default) — route to :func:`embedding_cosine_pairs_lsh`
+      (approximate, same output schema) ONLY when ``threshold >= 0.7``,
+      where hyperplane-LSH recall is near-complete; below that the LSH
+      substitute would silently return a drastically incomplete pair set
+      (~2% recall at 0.35 by this module's own measurement), so the call
+      raises instead and the approximate path requires explicit opt-in.
+    * ``"lsh"`` — always route (explicit opt-in to approximate results).
+    * ``"raise"`` — exact-or-nothing."""
     spark = embeddings.sparkSession
     n_rows = embeddings.count()
     if n_rows > max_broadcast_rows:
-        if on_overflow == "lsh":
+        route = on_overflow == "lsh" or (on_overflow == "auto" and threshold >= 0.7)
+        if route:
             dim = len(
                 embeddings.select("embedding").first()["embedding"]
             )
             return embedding_cosine_pairs_lsh(embeddings, threshold, dim=dim)
+        if on_overflow == "auto":
+            raise ValueError(
+                f"{n_rows} vectors exceeds the brute-force broadcast limit and "
+                f"threshold={threshold} < 0.7 is too low for the LSH substitute "
+                f"(recall collapses at moderate thresholds); pass "
+                f"on_overflow='lsh' to accept approximate results, or use "
+                f"minhash blocking on content"
+            )
         raise ValueError(
             f"{n_rows} vectors exceeds brute-force broadcast limit; use LSH blocking"
         )

@@ -18,6 +18,9 @@ hash-checked gate (the oracle inlines the plane matrix as SQL literals).
 
 from __future__ import annotations
 
+import logging
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, Window
@@ -26,6 +29,43 @@ from pyspark.sql import functions as F
 from .dedup import _cosine_col
 
 _QUANT = 65536  # power of two: scaling is exact in IEEE double
+
+logger = logging.getLogger(__name__)
+
+
+def derive_n_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
+    """Plane count scaled to the corpus: ≈ log2(N / target_bucket_size),
+    clamped to [4, 30].
+
+    A fixed plane count is a toy default — 10 planes is 1024 buckets total,
+    so at 10^12 vectors EVERY bucket exceeds any per-bucket cap and the ANN
+    goes empty. Deriving from N keeps expected bucket occupancy near
+    ``target_bucket_size`` at every scale (30 planes ≈ 10^9 buckets covers
+    10^12 vectors at ~1k/bucket)."""
+    n = max(int(n_vectors), 2)
+    return max(4, min(30, math.ceil(math.log2(n / max(target_bucket_size, 1)))))
+
+
+def _cap_buckets(base: DataFrame, max_bucket_size: int, op_name: str, key: str = "bucket"):
+    """Drop over-cap buckets — but never silently: the dropped bucket ids and
+    sizes are logged (the counts side is tiny, ≤ one row per bucket, and is
+    persisted so the logging action and the join share one scan)."""
+    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("_n")).persist()
+    dropped = counts.filter(F.col("_n") > max_bucket_size).collect()
+    if dropped:
+        total = sum(r["_n"] for r in dropped)
+        logger.warning(
+            "%s: dropping %d over-cap bucket(s) holding %d vectors "
+            "(max_bucket_size=%d): %s%s — raise max_bucket_size or n_planes "
+            "to keep them",
+            op_name,
+            len(dropped),
+            total,
+            max_bucket_size,
+            [(r[key], r["_n"]) for r in dropped[:10]],
+            "…" if len(dropped) > 10 else "",
+        )
+    return base.join(counts, key).filter(F.col("_n") <= max_bucket_size).drop("_n")
 
 
 def cosine_topk(
@@ -98,10 +138,11 @@ def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     seed: int = 7,
     n_probes: int | None = None,
     max_bucket_size: int = 100_000,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Approximate top-k with hyperplane LSH + 1-bit-flip multi-probe.
 
@@ -111,8 +152,16 @@ def lsh_ann_topk(
     are distinct values and every candidate lives in exactly one bucket, so
     no (query, nbr) pair is scored twice — no distinct needed.
 
+    ``n_planes=None`` (default) derives the plane count from the corpus size
+    (:func:`derive_n_planes`) so bucket occupancy stays near
+    ``target_bucket_size`` at any scale; pass it explicitly for
+    reproducibility against a fixed oracle.
+
     Skew guard: candidate buckets above ``max_bucket_size`` are dropped
-    (deterministic; mirrored by the SQL oracle)."""
+    deterministically and LOGGED with their sizes (never silent)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+        logger.info("lsh_ann_topk: derived n_planes=%d", n_planes)
     if n_probes is None:
         n_probes = n_planes
     b = add_lsh_bucket(embeddings, dim, n_planes, seed)
@@ -121,8 +170,7 @@ def lsh_ann_topk(
         F.col("embedding").cast("array<double>").alias("vb"),
         "bucket",
     )
-    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-    base = base.join(counts, "bucket").filter(F.col("_n") <= max_bucket_size).drop("_n")
+    base = _cap_buckets(base, max_bucket_size, "lsh_ann_topk")
     probes = b.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),

@@ -1,17 +1,11 @@
 """Text analysis operators (language-ID heuristic, quality scoring, token
-counting, document fingerprinting). All JVM-side except the fingerprint
-(md5-based, Arrow-batched); each has an exact SQL oracle."""
+counting, document fingerprinting). All JVM-side — whole-stage codegen, no
+Python workers; each has an exact SQL oracle."""
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 # function words used by the n-gram/stopword language heuristic
 EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -131,29 +125,33 @@ FROM r
 
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Order-sensitive 60-bit document fingerprint:
-    bit_xor over tokens of md5_60bit(token ':' position)."""
-    schema = StructType(
-        [
-            StructField("doc_id", documents.schema["doc_id"].dataType),
-            StructField("fingerprint", LongType()),
-        ]
+    bit_xor over tokens of md5_60bit(token ':' position).
+
+    Pure Catalyst — posexplode + md5 + conv + bit_xor stay in whole-stage
+    codegen with map-side partial aggregation, so the shuffle carries one
+    (doc_id, 8-byte hash) row per doc per partition, not the tokens. The
+    tokenization (single-space split, 0-based positions) mirrors
+    FINGERPRINT_ORACLE_SQL exactly."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "pos", "tok"
+        ),
     )
-
-    def fp(text: str) -> int:
-        acc = 0
-        for i, tok in enumerate(text.split()):
-            acc ^= int(hashlib.md5(f"{tok}:{i}".encode("utf-8")).hexdigest()[:15], 16)
-        return acc
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["fingerprint"] = [fp(t or "") for t in pdf["text"]]
-            yield out
-
-    from ..pipeline.extract import _fan_out
-
-    return _fan_out(documents.select("doc_id", "text")).mapInPandas(fn, schema)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("pos").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        toks.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.bit_xor("h").alias("fingerprint"))
+    )
 
 
 FINGERPRINT_ORACLE_SQL = """

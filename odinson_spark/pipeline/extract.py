@@ -42,12 +42,14 @@ from ..tokenizer.code_tokenizer import annotate_code, annotate_text, content_sha
 # ---------------------------------------------------------------------------
 
 
-def _sentences_rows(doc_id, sha, lang, sentences) -> Iterator[dict]:
+def _sentences_rows(doc_id, sha, lang, sentences, extra_token_fields=()) -> Iterator[dict]:
     for s in sentences:
         edges = s.get("edges") or []
         labels = [lab for _, _, lab in edges]
         incoming = sorted({lab for _, _, lab in edges})
+        extras = {name: s.get(name) for name in extra_token_fields}
         yield {
+            **extras,
             "doc_id": doc_id,
             "sent_id": s["sent_id"],
             "content_sha": sha,
@@ -212,7 +214,12 @@ def _uses_graph(programs) -> bool:
     return any(walk(p) for p in programs)
 
 
-def batch_from_pandas(pdf: pd.DataFrame, need_graph: bool, need_inout: bool) -> Tuple[SentenceBatch, list, list]:
+def batch_from_pandas(
+    pdf: pd.DataFrame,
+    need_graph: bool,
+    need_inout: bool,
+    extra_token_fields: Sequence[str] = (),
+) -> Tuple[SentenceBatch, list, list]:
     """Arrow batch → SentenceBatch with no per-row Python conversion: token
     layers stay as the numpy object arrays Arrow produced, edges are passed
     as (src, dst, label) array triples that _build_graphs concatenates
@@ -221,8 +228,8 @@ def batch_from_pandas(pdf: pd.DataFrame, need_graph: bool, need_inout: bool) -> 
 
     n = len(pdf)
     layers = {}
-    for name in _LAYER_NAMES:
-        if name in pdf.columns:
+    for name in (*_LAYER_NAMES, *extra_token_fields):
+        if name in pdf.columns and name not in layers:
             layers[name] = pdf[name].to_numpy()
     num_tokens = pdf["num_tokens"].to_numpy()
     edges = None
@@ -324,9 +331,11 @@ def _mention_frame(mentions, idx_by_key, raws, shas, EventMatch) -> pd.DataFrame
     )
 
 
-def required_columns(extractors: Sequence[Extractor]) -> List[str]:
+def required_columns(
+    extractors: Sequence[Extractor], extra_token_fields: Sequence[str] = ()
+) -> List[str]:
     programs = [e.program for e in extractors]
-    fields = _fields_used(programs) & set(_LAYER_NAMES)
+    fields = _fields_used(programs) & (set(_LAYER_NAMES) | set(extra_token_fields))
     cols = ["doc_id", "sent_id", "content_sha", "num_tokens", "raw"]
     cols += sorted(fields - {"raw"})
     if "norm" not in cols:
@@ -347,18 +356,28 @@ def extract_mentions_df(
     allow_trigger_overlaps: bool = False,
     disable_match_selector: bool = False,
     prune_columns: bool = True,
+    extra_token_fields: Sequence[str] = (),
 ) -> DataFrame:
     """Run the grammar; one matcher pass per Arrow batch, no shuffle.
 
     ``use_state=False`` runs the single-pass no-state path; ``use_state=True``
     runs the full priority cascade *within each batch* (sentence-local state
     is exact because reference state lookups are keyed by (doc, sentence) —
-    StateQuery.scala:14-142 reads mentions of the same sentence only)."""
+    StateQuery.scala:14-142 reads mentions of the same sentence only).
+
+    ``extra_token_fields``: user-configured token layers beyond the built-in
+    set (reference ``allTokenFields``, reference.conf:46-57) — each must be a
+    position-aligned array<string> column on ``sentences``."""
     programs = [e.program for e in extractors]
     need_graph = _uses_graph(programs)
     need_inout = bool(_fields_used(programs) & {"incoming", "outgoing"})
+    extra_token_fields = tuple(extra_token_fields)
     if prune_columns:
-        cols = [c for c in required_columns(extractors) if c in sentences.columns]
+        cols = [
+            c
+            for c in required_columns(extractors, extra_token_fields)
+            if c in sentences.columns
+        ]
         sentences = sentences.select(*cols)
     spark = sentences.sparkSession
     bc = spark.sparkContext.broadcast(list(extractors))
@@ -369,7 +388,9 @@ def extract_mentions_df(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            batch, doc_ids, sent_ids = batch_from_pandas(pdf, need_graph, need_inout)
+            batch, doc_ids, sent_ids = batch_from_pandas(
+                pdf, need_graph, need_inout, extra_token_fields
+            )
             raws = batch.raw_layers.get("raw")
             if raws is None:
                 raws = batch.raw_layers.get("word")

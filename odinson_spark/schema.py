@@ -65,6 +65,25 @@ SENTENCES_SCHEMA = StructType(
     ]
 )
 
+def sentences_schema(extra_token_fields=()) -> StructType:
+    """SENTENCES_SCHEMA plus user-configured token layers.
+
+    The reference indexes any configured ``TokensField``
+    (reference.conf:46-57 ``allTokenFields``, TestFields.scala:42-94); here
+    each extra layer is one more position-aligned array<string> column —
+    same storage, pruning, and prefilter treatment as the built-ins.
+    """
+    fields = list(SENTENCES_SCHEMA.fields)
+    builtin = {f.name for f in fields}
+    at = next(i for i, f in enumerate(fields) if f.name == "deps_src")
+    for name in extra_token_fields:
+        if name in builtin:
+            continue
+        fields.insert(at, StructField(name, _AS))
+        at += 1
+    return StructType(fields)
+
+
 CAPTURE_STRUCT = StructType(
     [
         StructField("name", _S),

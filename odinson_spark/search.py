@@ -83,17 +83,31 @@ def _sentence_cursor_prefilter(c: Cursor):
 class SearchEngine:
     """Paged pattern search over a sentence table (the 'index')."""
 
-    def __init__(self, sentences: DataFrame, meta_prefix: str = ""):
+    def __init__(
+        self,
+        sentences: DataFrame,
+        meta_prefix: str = "",
+        extra_token_fields: Sequence[str] = (),
+    ):
         self.sentences = sentences
         # document_json sources expose metadata as meta_* columns; the
         # deterministic tokenizers keep plain names (e.g. `lang`)
         self.meta_prefix = meta_prefix
+        # user-configured token layers (reference allTokenFields,
+        # reference.conf:46-57): extend the parser's field vocabulary and
+        # ship the extra columns to the matcher
+        self.extra_token_fields = tuple(extra_token_fields)
+        self._reader = RuleReader.with_extra_token_fields(self.extra_token_fields)
 
     def compile(self, pattern: str) -> Sequence[Extractor]:
-        grammar = (
-            f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
+        import yaml
+
+        # build the rule as a dict and dump it — patterns containing
+        # newlines/quotes can't break out of the YAML structure
+        grammar = yaml.safe_dump(
+            {"rules": [{"name": "q", "type": "basic", "pattern": pattern}]}
         )
-        extractors, _ = RuleReader().compile_rules(grammar)
+        extractors, _ = self._reader.compile_rules(grammar)
         return extractors
 
     def mentions(
@@ -111,7 +125,11 @@ class SearchEngine:
             )
         if after is not None:
             sents = sents.filter(_sentence_cursor_prefilter(after))
-        m = extract_mentions_df(apply_prefilter(sents, extractors), extractors)
+        m = extract_mentions_df(
+            apply_prefilter(sents, extractors),
+            extractors,
+            extra_token_fields=self.extra_token_fields,
+        )
         if after is not None:
             m = m.filter(_after_predicate(after))
         return m

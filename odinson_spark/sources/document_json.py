@@ -23,7 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline.extract import _sentences_rows
-from ..schema import SENTENCES_SCHEMA
 from ..lang.normalize import (
     normalize_unicode,
     normalize_unicode_aggressively,
@@ -31,8 +30,14 @@ from ..lang.normalize import (
 )
 
 
-def doc_to_sentences(doc: dict, max_tokens: int = 100) -> List[dict]:
-    """One reference-format Document dict → engine sentence dicts."""
+def doc_to_sentences(
+    doc: dict, max_tokens: int = 100, extra_token_fields=()
+) -> List[dict]:
+    """One reference-format Document dict → engine sentence dicts.
+
+    ``extra_token_fields``: user-configured token layers beyond the built-in
+    eight (reference ``allTokenFields``, reference.conf:46-57 /
+    TestFields.scala:42-94) — kept as position-aligned token lists."""
     out = []
     sent_id = 0
     for s in doc.get("sentences", []):
@@ -73,8 +78,11 @@ def doc_to_sentences(doc: dict, max_tokens: int = 100) -> List[dict]:
             "edges": sent.get("edges") or [],
             "roots": sent.get("roots") or [],
         }
+        for name in extra_token_fields:
+            v = sent.get(name)
+            row[name] = [normalize_unicode(t) for t in v] if v else None
         # pad/None missing layers to keep positional alignment honest
-        for k in ("lemma", "tag", "chunk", "entity"):
+        for k in ("lemma", "tag", "chunk", "entity", *extra_token_fields):
             v = row[k]
             if v is not None and len(v) != len(raw):
                 row[k] = None
@@ -98,7 +106,11 @@ def _meta_values(meta_list):
     joined with single spaces (the reference compares text metadata as
     token phrases; the joined form plus token-boundary matching reproduces
     that); NestedFields accumulate into a list of objects so repeated names
-    (several authors) become one array column queried with exists()."""
+    (several authors) become one array column queried with exists().
+
+    Conflicting kinds for one name (scalar in one doc/field, nested in
+    another) resolve deterministically: first kind wins, later conflicting
+    values are dropped."""
     vals: Dict[str, object] = {}
     kinds: Dict[str, str] = {}
     for f in meta_list or []:
@@ -106,55 +118,108 @@ def _meta_values(meta_list):
         name = f.get("name")
         if not name:
             continue
-        if t.endswith("TokensField"):
-            vals[name] = " ".join(f.get("tokens") or [])
-            kinds[name] = "tokens"
+        if t.endswith("NestedField"):
+            kind, value = "nested", None
+        elif t.endswith("TokensField"):
+            kind, value = "tokens", " ".join(f.get("tokens") or [])
         elif t.endswith("StringField"):
-            vals[name] = str(f.get("string", ""))
-            kinds[name] = "string"
+            kind, value = "string", str(f.get("string", ""))
         elif t.endswith("NumberField"):
-            vals[name] = float(f.get("value", 0.0))
-            kinds[name] = "number"
+            kind, value = "number", float(f.get("value", 0.0))
         elif t.endswith("DateField"):
-            vals[name] = str(f.get("date"))
-            kinds[name] = "date"
-        elif t.endswith("NestedField"):
+            kind, value = "date", str(f.get("date"))
+        else:
+            continue
+        prev = kinds.get(name)
+        if prev is not None and prev != kind:
+            continue  # first-kind-wins: drop the conflicting later value
+        kinds[name] = kind
+        if kind == "nested":
             inner, _ = _meta_values(f.get("fields"))
             vals.setdefault(name, []).append(inner)
-            kinds[name] = "nested"
+        else:
+            vals[name] = value
     return vals, kinds
 
 
-_SENTENCES_META_SCHEMA = None
+def _sentences_meta_schema(extra_token_fields=()):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schema import sentences_schema
+
+    return StructType(
+        list(sentences_schema(extra_token_fields).fields)
+        + [StructField("meta_json", StringType()), StructField("meta_kinds_json", StringType())]
+    )
 
 
-def _sentences_meta_schema():
-    global _SENTENCES_META_SCHEMA
-    if _SENTENCES_META_SCHEMA is None:
-        from pyspark.sql.types import StringType, StructField, StructType
+def _infer_metadata(spark: SparkSession, lines: DataFrame):
+    """(union metadata schema, field→kind dict) from the raw JSON lines.
 
-        _SENTENCES_META_SCHEMA = StructType(
-            list(SENTENCES_SCHEMA.fields)
-            + [StructField("meta_json", StringType()), StructField("meta_kinds_json", StringType())]
-        )
-    return _SENTENCES_META_SCHEMA
+    Deliberately a *metadata-only* pass: each line is parsed but sentences
+    are never expanded or normalized, so the inference jobs cost a fraction
+    of the ingest proper (the sentence fields dominate every real document).
+    One Spark job computes both outputs (schema inference over the collected
+    distinct metadata strings stays driver-side — corpora have few distinct
+    metadata *shapes* even when they have many documents)."""
+    from pyspark.sql import functions as F
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mjs, mks = [], []
+            for line in pdf["value"]:
+                line = (line or "").strip()
+                if not line:
+                    continue
+                vals, kinds = _meta_values(json.loads(line).get("metadata"))
+                mjs.append(json.dumps(vals))
+                mks.append(json.dumps(kinds))
+            yield pd.DataFrame({"meta_json": mjs, "meta_kinds_json": mks})
+
+    meta = lines.mapInPandas(fn, "meta_json string, meta_kinds_json string")
+    rows = meta.groupBy("meta_json", "meta_kinds_json").count().drop("count").collect()
+    if not rows:
+        return None, {}
+    meta_schema = spark.read.json(
+        spark.sparkContext.parallelize([r[0] or "{}" for r in rows])
+    ).schema
+    kinds: Dict[str, str] = {}
+    # deterministic cross-document kind resolution: lexicographically
+    # smallest kind wins on conflict (first-kind-wins has no stable order
+    # across partitions)
+    for r in rows:
+        for name, kind in json.loads(r[1] or "{}").items():
+            if name not in kinds or kind < kinds[name]:
+                kinds[name] = kind
+    return meta_schema, kinds
 
 
 def read_document_json(
-    spark: SparkSession, path: str, max_tokens: int = 100, expand_metadata: bool = True
+    spark: SparkSession,
+    path: str,
+    max_tokens: int = 100,
+    expand_metadata: bool = True,
+    extra_token_fields=(),
+    meta_schema=None,
+    meta_kinds: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Path of JSON-lines files (one Document per line) → sentences DF.
 
     With ``expand_metadata`` (default), document metadata fields become typed
     ``meta_*`` columns (tokens → string, number → double, date → date,
     nested → array<struct>) replicated on every sentence row of the doc, so
-    the metadata query language filters them scan-side."""
+    the metadata query language filters them scan-side. Pass ``meta_schema``
+    + ``meta_kinds`` explicitly to skip the inference pass entirely.
+
+    ``extra_token_fields``: user-configured token layers beyond the built-in
+    eight (reference ``allTokenFields``) — one array<string> column each."""
     lines = spark.read.text(path)
+    extra_token_fields = tuple(extra_token_fields)
+    out_schema = _sentences_meta_schema(extra_token_fields)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        schema = _sentences_meta_schema()
         for pdf in batches:
             rows = []
             for line in pdf["value"]:
@@ -162,34 +227,36 @@ def read_document_json(
                 if not line:
                     continue
                 doc = json.loads(line)
-                sentences = _fill_layers(doc_to_sentences(doc, max_tokens))
+                sentences = _fill_layers(
+                    doc_to_sentences(doc, max_tokens, extra_token_fields)
+                )
                 sha = hashlib.sha256(line.encode("utf-8")).hexdigest()
                 vals, kinds = _meta_values(doc.get("metadata"))
                 mj, mk = json.dumps(vals), json.dumps(kinds)
-                for r in _sentences_rows(str(doc.get("id")), sha, None, sentences):
+                for r in _sentences_rows(
+                    str(doc.get("id")), sha, None, sentences, extra_token_fields
+                ):
                     r["meta_json"] = mj
                     r["meta_kinds_json"] = mk
                     rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    df = lines.mapInPandas(fn, _sentences_meta_schema())
+    df = lines.mapInPandas(fn, out_schema)
     if not expand_metadata:
         return df.drop("meta_json", "meta_kinds_json")
     from pyspark.sql import functions as F
 
-    # corpus metadata schemas vary per corpus: infer the union schema from
-    # the canonical JSON (one extra scan over the small metadata strings)
-    meta_schema = spark.read.json(
-        df.select("meta_json").rdd.map(lambda r: r[0] or "{}")
-    ).schema
-    fields = [f.name for f in meta_schema.fields if not f.name.startswith("_corrupt")]
+    if meta_schema is None:
+        meta_schema, inferred_kinds = _infer_metadata(spark, lines)
+        if meta_kinds is None:
+            meta_kinds = inferred_kinds
+    kinds = meta_kinds or {}
+    fields = (
+        []
+        if meta_schema is None
+        else [f.name for f in meta_schema.fields if not f.name.startswith("_corrupt")]
+    )
     if fields:
-        kind_rows = (
-            df.select(F.explode(F.from_json("meta_kinds_json", "map<string,string>")))
-            .distinct()
-            .collect()
-        )
-        kinds = {r[0]: r[1] for r in kind_rows}
         m = F.from_json("meta_json", meta_schema)
         for name in fields:
             col = m[name]

@@ -31,14 +31,23 @@ def sentence_batch_from_docs(
     (src, dst, label)), ``roots`` (list of int), ``mentions``
     (dict label -> [(start, end), …]). ``build_inout=False`` skips the
     per-token incoming/outgoing label lists (only needed when a pattern
-    queries those fields)."""
+    queries those fields).
+
+    Keys beyond the built-ins and the reserved ``edges``/``roots``/
+    ``mentions`` become extra token layers verbatim — arbitrary configured
+    fields index like any other layer (reference TestFields.scala:42-94)."""
     n = len(sentences)
     layer_names = ("raw", "word", "lemma", "tag", "chunk", "entity")
     if build_inout:
         layer_names = layer_names + ("incoming", "outgoing")
+    reserved = set(layer_names) | {"norm", "norm_alt", "edges", "roots", "mentions",
+                                   "incoming", "outgoing"}
+    extra_names = sorted({k for s in sentences for k in s.keys() if k not in reserved})
     layers: Dict[str, list] = {k: [] for k in layer_names}
     layers["norm"] = []
     layers["norm_alt"] = []
+    for k in extra_names:
+        layers[k] = []
     num_tokens = []
     edges = []
     roots = []
@@ -56,7 +65,7 @@ def sentence_batch_from_docs(
         norm_alt = [normalize_unicode_aggressively(t) for t in raw]
         layers["norm"].append(norm)
         layers["norm_alt"].append(norm_alt if norm_alt != norm else None)
-        for k in ("lemma", "tag", "chunk", "entity"):
+        for k in ("lemma", "tag", "chunk", "entity", *extra_names):
             v = s.get(k)
             layers[k].append([normalize_unicode(t) for t in v] if v else None)
         e = s.get("edges") or []

@@ -90,3 +90,81 @@ def test_simhash_pairs_rejects_lossy_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(AssertionError):
         simhash_pairs(docs, bands=4, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# scale-safe hyperplane-LSH defaults (round-2 VERDICT: fixed plane counts +
+# silent over-cap drops would empty the ANN at true scale)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(spark, n=300, dim=8):
+    """n vectors in one tight cone: with too few planes they all share a
+    bucket."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(dim)
+    rows = []
+    for i in range(n):
+        v = base + 0.01 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_over_cap_drop_is_logged_not_silent(spark, caplog):
+    import logging
+
+    from odinson_spark.ops.similarity import lsh_ann_topk
+
+    emb = _clustered_embeddings(spark)
+    with caplog.at_level(logging.WARNING, logger="odinson_spark.ops.similarity"):
+        out = lsh_ann_topk(emb, k=3, dim=8, n_planes=2, max_bucket_size=50)
+        rows = out.collect()
+    # the clustered corpus exceeds the cap in its (single) bucket → dropped →
+    # empty result, but with a diagnostic naming the bucket and its size
+    assert rows == []
+    assert any("over-cap bucket" in r.message for r in caplog.records)
+
+
+def test_lsh_derived_planes_return_results(spark):
+    from odinson_spark.ops.similarity import derive_n_planes, lsh_ann_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # default (n_planes=None) derives the plane count from the corpus size;
+    # with target_bucket_size=32 the 400 spread vectors split across >= 2^4
+    # buckets, none over the cap, so results are non-empty
+    out = lsh_ann_topk(
+        emb, k=3, dim=8, max_bucket_size=64, target_bucket_size=32
+    ).collect()
+    assert len(out) > 0
+    assert derive_n_planes(400, 32) == 4
+
+
+def test_derive_n_planes_scaling():
+    from odinson_spark.ops.similarity import derive_n_planes
+
+    assert derive_n_planes(1_000, 1024) == 4  # clamped floor
+    assert derive_n_planes(10**9, 1024) == 20
+    assert derive_n_planes(10**12, 1024) == 30  # clamped ceiling: ~10^9 buckets
+    # expected occupancy at the derived count stays near the target
+    assert 10**12 / 2 ** derive_n_planes(10**12, 1024) <= 1024 * 2**10  # clamp tradeoff documented
+
+
+def test_embedding_cosine_auto_overflow_guards_low_threshold(spark):
+    import pytest as _pytest
+
+    from odinson_spark.ops.dedup import embedding_cosine_pairs
+
+    emb = _clustered_embeddings(spark, n=20)
+    # low threshold + overflow: the auto default must refuse the LSH
+    # substitute (recall collapse) instead of silently returning ~2% of pairs
+    with _pytest.raises(ValueError, match="on_overflow='lsh'"):
+        embedding_cosine_pairs(emb, threshold=0.35, max_broadcast_rows=5)
+    # high threshold + overflow: auto routes to LSH
+    routed = embedding_cosine_pairs(emb, threshold=0.9, max_broadcast_rows=5)
+    assert routed.count() > 0

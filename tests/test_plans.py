@@ -93,3 +93,16 @@ def test_fused_equals_staged(spark):
     fused = extract_one_shot(docs, extractors)
     key = lambda r: (r.doc_id, r.sent_id, r.start, r.end, r.found_by)
     assert sorted(map(key, staged.collect())) == sorted(map(key, fused.collect()))
+
+
+def test_fingerprints_plan_has_no_python_stage(spark):
+    # VERDICT r2 wrong-item #1: the fingerprint is SQL-expressible and must
+    # stay in whole-stage codegen — no mapInPandas / Python worker
+    from odinson_spark.ops.text import fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    plan = fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan
+    assert "HashAggregate" in plan  # partial agg (map-side bit_xor combine)
