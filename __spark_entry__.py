@@ -130,6 +130,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pat_or"] = lambda s, d: _mention_spans(s, d, "hash | merge")
     q["pat_neg"] = lambda s, d: _mention_spans(s, d, "key [!norm=key]")
     q["pat_regex"] = lambda s, d: _mention_spans(s, d, "[norm=/qu.*/]")
+    # fuzzy term: edit distance <= 2 (Lucene fuzzy-query default the
+    # reference inherits); oracle is DuckDB levenshtein()
+    q["pat_fuzzy"] = lambda s, d: _mention_spans(s, d, "fast~")
+
+    def custom_field(s, d):
+        """Config-driven token layer end-to-end (reference allTokenFields,
+        TestFields.scala:42-94): a user-added `parity` layer (token-length
+        parity, SQL-reproducible) is matched by the grammar like any
+        built-in layer."""
+        from odinson_spark.lang.rules import RuleReader as _RR
+
+        sents = _sentences(s, d).withColumn(
+            "parity",
+            F.transform(
+                F.col("raw"),
+                lambda t: F.when(F.length(t) % 2 == 0, F.lit("even")).otherwise(
+                    F.lit("odd")
+                ),
+            ),
+        )
+        reader = _RR.with_extra_token_fields(("parity",))
+        extractors, _ = reader.compile_rules(
+            "rules:\n  - name: q\n    type: basic\n    pattern: |\n"
+            "      [parity=odd & norm=/s.*/]\n"
+        )
+        m = extract_mentions_df(
+            apply_prefilter(sents, extractors), extractors,
+            extra_token_fields=("parity",),
+        )
+        return m.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("start").alias("mstart"),
+            F.col("end").alias("mend"),
+            F.col("text").alias("mtext"),
+        ).orderBy("doc_id", "mstart", "mend")
+
+    q["custom_field"] = custom_field
     q["pat_conj"] = lambda s, d: _mention_spans(s, d, "[norm=fast & tag=WORD]")
     q["pat_quant_greedy"] = lambda s, d: _mention_spans(s, d, "fast+")
     q["pat_quant_lazy"] = lambda s, d: _mention_spans(s, d, "fast+?")
@@ -529,6 +566,10 @@ WHERE a.tok = 'key' AND b.tok <> 'key'
         body=True,
     )
     o["pat_regex"] = spans("regexp_full_match(tok, 'qu.*')")
+    o["pat_fuzzy"] = spans("levenshtein(tok, 'fast') <= 2")
+    o["custom_field"] = spans(
+        "len(tok) % 2 = 1 AND regexp_full_match(tok, 's.*')"
+    )
     o["pat_conj"] = spans("tok = 'fast' AND NOT regexp_full_match(tok, '[0-9]+')")
     o["pat_quant_greedy"] = spans(
         """

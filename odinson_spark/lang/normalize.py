@@ -17,6 +17,8 @@ WHITESPACE_PLACEHOLDER = "�"  # reference replaces whitespace-only tokens
 
 def normalize_unicode(s: str) -> str:
     """NFKC normalization (reference: ai.lum.common normalizeUnicode)."""
+    if s.isascii():
+        return s  # NFKC is the identity on ASCII
     return unicodedata.normalize("NFKC", s)
 
 
@@ -43,6 +45,11 @@ _TRANSLIT = str.maketrans(
 
 def normalize_unicode_aggressively(s: str) -> str:
     """NFKC + casefold + diacritics stripped + ASCII transliteration."""
+    if s.isascii():
+        # exact fast path: every step below is the identity on ASCII except
+        # casefold, and ASCII casefold == lower (the _TRANSLIT keys, NFKC/
+        # NFKD decompositions, and combining marks are all non-ASCII)
+        return s.lower()
     s = s.translate(_TRANSLIT)
     s = unicodedata.normalize("NFKC", s).casefold()
     s = s.translate(_TRANSLIT)

@@ -63,24 +63,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
+        new_comp = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        new_labels = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            new_comp.alias("component"),
+            # convergence flag computed inside the same row pass: the count
+            # below both materializes the (lazy) checkpoint and answers
+            # "did anything change" — ONE Spark job per round, not a
+            # checkpoint job plus a join-the-old-labels job
+            (new_comp != F.col("component")).alias("_changed"),
         )
-        labels = new_labels
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     if changed != 0:

@@ -72,18 +72,97 @@ def _sentences_rows(doc_id, sha, lang, sentences, extra_token_fields=()) -> Iter
         }
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, force: Optional[bool] = None) -> DataFrame:
     """Small inputs often arrive as one parquet split; the Python annotate/
     match stages scale with partition count, so widen to the session's
-    parallelism. On a real corpus (thousands of splits) this is a no-op."""
+    parallelism. On a real corpus (thousands of splits) this is a no-op.
+
+    ``force``: explicit override — True always repartitions, False never
+    (skips the partition-count probe entirely)."""
     if df.isStreaming:
         return df  # micro-batch sizing is the trigger's job
+    if force is False:
+        return df
     # one wave of core-count tasks measured fastest on local[*]; finer tasks
     # add per-task Arrow/scheduling overhead without helping balance here
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if force is True:
+        return df.repartition(target)
+    try:
+        # physical partition count straight off the query execution — avoids
+        # building the Python RDD wrapper (and its deserializer) per call
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < target:
         return df.repartition(target)
     return df
+
+
+_SENTENCE_COLS = [f.name for f in SENTENCES_SCHEMA.fields]
+
+
+def _sentences_frame(annotated: Iterable[Tuple[str, str, Optional[str], list]]) -> pd.DataFrame:
+    """(doc_id, sha, lang, sentences) stream → one Arrow-ready frame, built
+    column-wise (dict-of-lists): no per-sentence dict, one DataFrame
+    construction per batch — the batch_from_pandas treatment applied to the
+    tokenize stage."""
+    c_doc, c_sent, c_sha, c_lang, c_nt = [], [], [], [], []
+    c_raw, c_word, c_norm, c_nalt, c_lem, c_tag, c_chk, c_ent = (
+        [], [], [], [], [], [], [], [],
+    )
+    c_src, c_dst, c_lab, c_roots, c_inc, c_out = [], [], [], [], [], []
+    for doc_id, sha, lang, sentences in annotated:
+        for s in sentences:
+            edges = s.get("edges") or []
+            labels = [lab for _, _, lab in edges]
+            incoming = sorted(set(labels))
+            c_doc.append(doc_id)
+            c_sent.append(s["sent_id"])
+            c_sha.append(sha)
+            c_lang.append(lang)
+            c_nt.append(len(s["raw"]))
+            c_raw.append(s["raw"])
+            c_word.append(s["word"])
+            c_norm.append(s["norm"])
+            c_nalt.append(s.get("norm_alt"))
+            c_lem.append(s["lemma"])
+            c_tag.append(s["tag"])
+            c_chk.append(s["chunk"])
+            c_ent.append(s["entity"])
+            c_src.append([e[0] for e in edges])
+            c_dst.append([e[1] for e in edges])
+            c_lab.append(labels)
+            c_roots.append(s.get("roots") or [])
+            c_inc.append(incoming)
+            c_out.append(incoming)
+    if not c_doc:
+        # empty dict-of-lists would infer float64 columns Arrow can't cast
+        return pd.DataFrame(columns=_SENTENCE_COLS)
+    return pd.DataFrame(
+        {
+            "doc_id": c_doc,
+            "sent_id": c_sent,
+            "content_sha": c_sha,
+            "lang": c_lang,
+            "num_tokens": c_nt,
+            "raw": c_raw,
+            "word": c_word,
+            "norm": c_norm,
+            "norm_alt": c_nalt,
+            "lemma": c_lem,
+            "tag": c_tag,
+            "chunk": c_chk,
+            "entity": c_ent,
+            "deps_src": c_src,
+            "deps_dst": c_dst,
+            "deps_label": c_lab,
+            "deps_roots": c_roots,
+            "incoming_flat": c_inc,
+            "outgoing_flat": c_out,
+        },
+        columns=_SENTENCE_COLS,
+    )
 
 
 def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
@@ -92,14 +171,17 @@ def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                doc_id = f"{r.repo}/{r.path}@{r.commit}"
-                sha = content_sha(r.content or "")
-                rows.extend(
-                    _sentences_rows(doc_id, sha, r.lang, annotate_code(r.content or "", max_tokens))
+            yield _sentences_frame(
+                (
+                    f"{repo}/{path}@{commit}",
+                    content_sha(content or ""),
+                    lang,
+                    annotate_code(content or "", max_tokens),
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES_SCHEMA.fields])
+                for repo, path, commit, lang, content in zip(
+                    pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
+                )
+            )
 
     return repos.mapInPandas(fn, SENTENCES_SCHEMA)
 
@@ -107,21 +189,20 @@ def tokenize_repos(repos: DataFrame, max_tokens: int = 100) -> DataFrame:
 def tokenize_documents(documents: DataFrame, max_tokens: int = 100) -> DataFrame:
     """documents(doc_id, text, lang, …) → sentence rows (whitespace mode)."""
     documents = _fan_out(documents)
+    has_lang = "lang" in documents.columns
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                text = r.text or ""
-                rows.extend(
-                    _sentences_rows(
-                        str(r.doc_id),
-                        content_sha(text),
-                        getattr(r, "lang", None),
-                        annotate_text(text, max_tokens),
-                    )
+            langs = pdf["lang"] if has_lang else [None] * len(pdf)
+            yield _sentences_frame(
+                (
+                    str(doc_id),
+                    content_sha(text or ""),
+                    lang,
+                    annotate_text(text or "", max_tokens),
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES_SCHEMA.fields])
+                for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], langs)
+            )
 
     return documents.mapInPandas(fn, SENTENCES_SCHEMA)
 

@@ -120,3 +120,98 @@ def test_write_mentions_json_roundtrip(spark, tmp_path, verbosity):
     # and it reads back through spark
     back = spark.read.json(p)
     assert back.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# TestIncrementalIndex.scala:95-247 behavioral port (parquet branch): add to
+# an open/closed index, delete one of many, no-op delete/update of a
+# non-existent doc, update respecting sentence changes
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_add_to_closed_index(spark, tmp_path):
+    """Writing through a NEW TableIO instance appends to a previously
+    'closed' index (TestIncrementalIndex.scala:109-123)."""
+    p = str(tmp_path / "t")
+    TableIO(spark, use_iceberg=False).overwrite(_docs(spark), p)
+    # fresh instance == reopened index
+    tio2 = TableIO(spark, use_iceberg=False)
+    tio2.append(spark.createDataFrame([("d", "x4")], "doc_id string, payload string"), p)
+    assert {r.doc_id for r in tio2.read(p).collect()} == {"a", "b", "it's", "d"}
+
+
+def test_incremental_delete_one_of_many(spark, tio, tmp_path):
+    """Deleting one doc leaves the others intact
+    (TestIncrementalIndex.scala:163-187)."""
+    p = str(tmp_path / "t")
+    tio.overwrite(_docs(spark), p)
+    tio.delete_doc(p, "b")
+    assert {r.doc_id for r in tio.read(p).collect()} == {"a", "it's"}
+
+
+def test_incremental_delete_nonexistent_doc_is_noop(spark, tio, tmp_path):
+    """Deleting a doc that isn't there must not crash or change the table
+    (TestIncrementalIndex.scala:189-197)."""
+    p = str(tmp_path / "t")
+    tio.overwrite(_docs(spark), p)
+    tio.delete_doc(p, "no-such-doc")
+    assert {r.doc_id for r in tio.read(p).collect()} == {"a", "b", "it's"}
+
+
+def test_incremental_update_nonexistent_doc_inserts(spark, tio, tmp_path):
+    """Updating a non-existent doc must not crash; the new rows land
+    (TestIncrementalIndex.scala:241-247)."""
+    p = str(tmp_path / "t")
+    tio.overwrite(_docs(spark), p)
+    rows = spark.createDataFrame([("z", "new")], "doc_id string, payload string")
+    tio.update_doc(p, "z", rows)
+    out = {r.doc_id: r.payload for r in tio.read(p).collect()}
+    assert out["z"] == "new" and len(out) == 4
+
+
+def test_incremental_update_respects_sentence_changes(spark, tio, tmp_path):
+    """An update replaces ALL old rows of the doc, even when the new version
+    has a different row count (TestIncrementalIndex.scala:199-214 'respecting
+    changes to sentences')."""
+    p = str(tmp_path / "t")
+    many = spark.createDataFrame(
+        [("a", "s0"), ("a", "s1"), ("a", "s2"), ("b", "x")],
+        "doc_id string, payload string",
+    )
+    tio.overwrite(many, p)
+    new_rows = spark.createDataFrame([("a", "only")], "doc_id string, payload string")
+    tio.update_doc(p, "a", new_rows)
+    rows = tio.read(p).collect()
+    a_rows = [r.payload for r in rows if r.doc_id == "a"]
+    assert a_rows == ["only"]
+    assert {r.doc_id for r in rows} == {"a", "b"}
+
+
+def test_settings_export_load_and_validation(spark, tio, tmp_path):
+    """Index settings sidecar: dump + reload + displayField validation +
+    survival across the delete_doc rewrite
+    (TestIncrementalIndex.scala:38-93 'properly export and load settings',
+    'throw an exception if the displayField isn't in the storedFields')."""
+    p = str(tmp_path / "t")
+    tio.overwrite(_docs(spark), p)
+    settings = {
+        "display_field": "raw",
+        "stored_fields": ["raw", "lemma"],
+        "extra_token_fields": ["fizzbuzz"],
+    }
+    tio.write_settings(p, settings)
+    assert tio.read_settings(p) == settings
+    # the data itself still reads cleanly (sidecar starts with '_', ignored
+    # by the parquet reader)
+    assert tio.read(p).count() == 3
+    # settings survive the delete_doc temp-then-swap rewrite
+    tio.delete_doc(p, "b")
+    assert tio.read_settings(p) == settings
+    assert tio.read(p).count() == 2
+    # invalid: displayField must be stored
+    with pytest.raises(ValueError, match="displayField"):
+        tio.write_settings(p, {"display_field": "raw", "stored_fields": ["lemma"]})
+    # absent settings read as None
+    p2 = str(tmp_path / "t2")
+    tio.overwrite(_docs(spark), p2)
+    assert tio.read_settings(p2) is None
