@@ -419,6 +419,26 @@ rules:
     q["dedup_minhash_lsh"] = lambda s, d: dd.minhash_lsh_pairs(
         _t(s, d, "documents")
     ).orderBy("doc_a", "doc_b")
+
+    def dedup_clusters(s, d):
+        """Composite dedup: minhash-LSH candidate pairs → connected
+        components → one canonical id per document (the full corpus-dedup
+        shape a training pipeline runs: each cluster keeps min doc_id)."""
+        from odinson_spark.pipeline.components import connected_components
+
+        docs = _t(s, d, "documents")
+        pairs = dd.minhash_lsh_pairs(docs)
+        comp = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs,
+            src_col="doc_a",
+            dst_col="doc_b",
+        )
+        return comp.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+        ).orderBy("doc_id")
+
+    q["dedup_clusters"] = dedup_clusters
     q["dedup_simhash"] = lambda s, d: dd.simhash_signatures(
         _t(s, d, "documents")
     ).orderBy("doc_id")
@@ -844,6 +864,26 @@ WHERE n_common * 1000000 // (sa.n_grams + sb.n_grams - n_common) >= 50000
 ORDER BY doc_a, doc_b
 """
     o["dedup_minhash_lsh"] = dd.minhash_lsh_oracle_sql() + "\nORDER BY doc_a, doc_b"
+    # composite dedup: same lsh_pairs CTE chain, then min-label reachability
+    # as a recursive CTE (UNION dedup terminates the walk on cycles)
+    o["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + dd.minhash_lsh_ctes(table="documents")
+        + """,
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN sym e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS canonical_id FROM walk
+GROUP BY node ORDER BY doc_id
+"""
+    )
     o["dedup_simhash"] = dd.SIMHASH_ORACLE_SQL + "\nORDER BY doc_id"
     # full quadratic ground truth — matching it proves the banded join is
     # lossless for max_hamming < bands

@@ -128,7 +128,11 @@ def extract_one_shot(
                     shas.append(sha)
             if not sents:
                 continue
-            batch = sentence_batch_from_docs(sents, build_inout=need_inout)
+            # annotators emit sanitized+NFKC tokens with a precomputed norm
+            # layer; skip the redundant per-token re-normalization
+            batch = sentence_batch_from_docs(
+                sents, build_inout=need_inout, pre_normalized=True
+            )
             if use_state:
                 mentions = runner.extract_mentions(batch, doc_ids, sent_ids)
             else:
