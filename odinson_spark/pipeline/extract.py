@@ -115,7 +115,17 @@ def _sentences_frame(annotated: Iterable[Tuple[str, str, Optional[str], list]]) 
     for doc_id, sha, lang, sentences in annotated:
         for s in sentences:
             edges = s.get("edges") or []
-            labels = [lab for _, _, lab in edges]
+            if isinstance(edges, tuple) and len(edges) == 3:
+                # vectorized (src, dst, label) triple from the annotator
+                src_l, dst_l, labels = (
+                    edges[0].tolist(),
+                    edges[1].tolist(),
+                    edges[2].tolist(),
+                )
+            else:
+                src_l = [e[0] for e in edges]
+                dst_l = [e[1] for e in edges]
+                labels = [lab for _, _, lab in edges]
             incoming = sorted(set(labels))
             c_doc.append(doc_id)
             c_sent.append(s["sent_id"])
@@ -130,8 +140,8 @@ def _sentences_frame(annotated: Iterable[Tuple[str, str, Optional[str], list]]) 
             c_tag.append(s["tag"])
             c_chk.append(s["chunk"])
             c_ent.append(s["entity"])
-            c_src.append([e[0] for e in edges])
-            c_dst.append([e[1] for e in edges])
+            c_src.append(src_l)
+            c_dst.append(dst_l)
             c_lab.append(labels)
             c_roots.append(s.get("roots") or [])
             c_inc.append(incoming)

@@ -93,7 +93,12 @@ def sentence_batch_from_docs(
             # derived per-token incoming/outgoing label lists
             inc = [[] for _ in raw]
             out = [[] for _ in raw]
-            for (src, dst, lab) in e:
+            if isinstance(e, tuple) and len(e) == 3:
+                # vectorized (src, dst, label) array triple from an annotator
+                edge_iter = zip(e[0].tolist(), e[1].tolist(), e[2].tolist())
+            else:
+                edge_iter = iter(e)
+            for (src, dst, lab) in edge_iter:
                 if 0 <= src < len(raw) and 0 <= dst < len(raw):
                     out[src].append(lab)
                     inc[dst].append(lab)

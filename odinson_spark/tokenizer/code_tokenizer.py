@@ -156,13 +156,23 @@ def annotate_code(content: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE) -> Li
 
 def annotate_text(content: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE) -> List[Dict]:
     """Whitespace tokenization with a next-chain graph; one sentence per doc
-    (SQL-oracle-reproducible: token i is element i+1 of string_split)."""
+    (SQL-oracle-reproducible: token i is element i+1 of string_split).
+
+    Edges come back as a vectorized (src, dst, label) array triple — the
+    matcher's CSR builder consumes this form with no per-edge Python."""
+    import numpy as np
+
     toks = content.split()
     if not toks:
         return []
     toks = toks[:max_tokens]
     raw = [sanitize_token(normalize_unicode(t)) for t in toks]
     n = len(raw)
+    if n > 1:
+        src = np.arange(n - 1, dtype=np.int32)
+        edges = (src, src + 1, np.full(n - 1, "next", dtype=object))
+    else:
+        edges = ()
     return [
         {
             "sent_id": 0,
@@ -173,7 +183,7 @@ def annotate_text(content: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE) -> Li
             "tag": ["NUM" if t.isdigit() else "WORD" for t in raw],
             "chunk": ["O"] * n,
             "entity": ["O"] * n,
-            "edges": [(i, i + 1, "next") for i in range(n - 1)],
+            "edges": edges,
             "roots": [0],
         }
     ]
