@@ -466,6 +466,11 @@ rules:
         "query_id", "rank"
     )  # fully hash-checked: integer planes + quantized dots are inlined
     # as SQL literals in lsh_ann_oracle_sql
+    # nlist pinned to 8 for the inlined-centroid oracle; production default
+    # (nlist=None) derives the cell count from corpus size (derive_nlist)
+    q["ann_ivf"] = lambda s, d: sim.ivf_ann_topk(
+        _t(s, d, "embeddings"), k=5, nlist=8, nprobe=3
+    ).orderBy("query_id", "rank")
 
     # --- text analysis -----------------------------------------------------------
     q["text_tokens"] = lambda s, d: tx.token_stats(_t(s, d, "documents")).orderBy("doc_id")
@@ -912,6 +917,9 @@ SELECT query_id, nbr_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
     o["ann_lsh"] = sim.lsh_ann_oracle_sql(k=5) + "\nORDER BY query_id, rank"
+    o["ann_ivf"] = (
+        sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3) + "\nORDER BY query_id, rank"
+    )
 
     # text analysis
     o["text_tokens"] = tx.TOKEN_STATS_ORACLE_SQL + "\nORDER BY doc_id"

@@ -195,6 +195,169 @@ def lsh_ann_topk(
     )
 
 
+def derive_nlist(
+    n_vectors: int, target_cell_size: int = 1024, max_nlist: int = 256
+) -> int:
+    """Cell count scaled to the corpus: ≈ N / target_cell_size, clamped to
+    [2, max_nlist].
+
+    The coarse quantizer is inlined into the plan as literal centroid
+    expressions, so nlist must stay modest (plan size grows linearly with
+    it).  Past ``max_nlist`` cells the right scale move is hierarchical:
+    compose the IVF cell with an LSH bucket prefix
+    (``struct(add_lsh_bucket(...).bucket, cell)``) so the join key space is
+    the PRODUCT of the two partitioners — 256 cells × 2^30 LSH buckets
+    comfortably shards 10^12 vectors at ~4k/key without a single giant
+    centroid table."""
+    n = max(int(n_vectors), 2)
+    return max(2, min(max_nlist, math.ceil(n / max(target_cell_size, 1))))
+
+
+def _centroids_int(dim: int, nlist: int, seed: int) -> np.ndarray:
+    """Seeded integer centroids in [-1000, 1000] — the same reproducibility
+    trick as :func:`_hyperplanes_int`: exactly representable in double and
+    inlineable as SQL literals, so Spark and DuckDB assign byte-identical
+    cells."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-1000, 1001, size=(nlist, dim)).astype(np.int64)
+
+
+def _cell_rank_array(emb_col, centroids: np.ndarray):
+    """array<struct<nd,long idx,int>> sorted by quantized dot DESC, centroid
+    index ASC — element 1 is the assignment cell, the first ``nprobe``
+    elements are the probe cells.  Pure Catalyst (zip_with/aggregate/
+    array_sort), stays in whole-stage codegen."""
+    entries = []
+    for c in range(len(centroids)):
+        cent_arr = F.array(*[F.lit(int(w)) for w in centroids[c]])
+        prods = F.zip_with(
+            emb_col,
+            cent_arr,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
+            ).cast("long"),
+        )
+        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        entries.append(F.struct((-dot).alias("nd"), F.lit(c).alias("idx")))
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    nlist: int | None = None,
+    nprobe: int = 3,
+    seed: int = 11,
+    max_cell_size: int = 100_000,
+    target_cell_size: int = 1024,
+) -> DataFrame:
+    """Approximate top-k via an IVF-Flat coarse quantizer: every vector is
+    assigned to its nearest (max quantized dot) of ``nlist`` seeded
+    centroids; each query scores only candidates in its ``nprobe`` nearest
+    cells.
+
+    Complements :func:`lsh_ann_topk`: IVF adapts to the data direction
+    structure a bit better than random hyperplanes at equal bucket counts
+    (cells are Voronoi regions, not axis-ish half-space intersections) and
+    ``nprobe`` gives a smooth recall/cost dial without the 2^planes bucket
+    explosion.
+
+    Scale shape: assignment is per-row (narrow, zero shuffle); the only
+    shuffles are the cell equi-join and the final top-k window, both keyed
+    to ≤ ``max_cell_size`` rows per key.  Each candidate lives in exactly
+    one cell and probe cells are distinct, so no pair is scored twice.
+    Over-cap cells are dropped deterministically and LOGGED (never silent);
+    ``nlist=None`` derives the cell count from corpus size
+    (:func:`derive_nlist`)."""
+    if nlist is None:
+        nlist = derive_nlist(embeddings.count(), target_cell_size)
+        logger.info("ivf_ann_topk: derived nlist=%d", nlist)
+    nprobe = min(nprobe, nlist)
+    centroids = _centroids_int(dim, nlist, seed)
+    ranked_cells = embeddings.withColumn(
+        "_cells", _cell_rank_array(F.col("embedding"), centroids)
+    )
+    base = ranked_cells.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.element_at("_cells", 1)["idx"].alias("cell"),
+    )
+    base = _cap_buckets(base, max_cell_size, "ivf_ann_topk", key="cell")
+    probes = ranked_cells.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.explode(F.slice("_cells", 1, nprobe)["idx"]).alias("cell"),
+    )
+    cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
+    scored = (
+        probes.join(base, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def ivf_ann_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 3,
+    seed: int = 11,
+    max_cell_size: int = 100_000,
+) -> str:
+    """DuckDB SQL computing the identical IVF result: centroids inlined as
+    VALUES, quantized integer dots make cell assignment engine-independent,
+    ties broken by centroid index on both sides."""
+    nprobe = min(nprobe, nlist)
+    cents = _centroids_int(dim, nlist, seed)
+    values = ", ".join(
+        f"({c}, {i + 1}, {int(cents[c][i])})" for c in range(nlist) for i in range(dim)
+    )
+    return f"""
+WITH cents(c, i, w) AS (VALUES {values}),
+dots AS (
+  SELECT e.vec_id, ct.c,
+         sum(CAST(floor(e.embedding[ct.i]::DOUBLE * ct.w::DOUBLE * {float(_QUANT)}) AS BIGINT)) AS dot
+  FROM {table} e, cents ct GROUP BY e.vec_id, ct.c
+),
+ranked_cells AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+  FROM dots
+),
+base0 AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rn = 1),
+counts AS (SELECT cell, count(*) AS n FROM base0 GROUP BY cell),
+base AS (
+  SELECT b.vec_id, b.cell FROM base0 b
+  JOIN counts c ON b.cell = c.cell WHERE c.n <= {max_cell_size}
+),
+probes AS (SELECT vec_id AS query_id, c AS cell FROM ranked_cells WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, c.vec_id AS nbr_id
+  FROM probes p JOIN base c ON p.cell = c.cell AND p.query_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS cosine
+  FROM cand
+  JOIN {table} q ON q.vec_id = cand.query_id
+  JOIN {table} n ON n.vec_id = cand.nbr_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_ann_oracle_sql(
     table: str = "embeddings",
     k: int = 5,

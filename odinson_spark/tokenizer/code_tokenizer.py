@@ -24,6 +24,8 @@ import hashlib
 import re
 from typing import Dict, Iterable, List, Optional, Tuple
 
+import numpy as np
+
 from ..lang.normalize import normalize_unicode, normalize_unicode_aggressively, sanitize_token
 
 MAX_TOKENS_PER_SENTENCE = 100
@@ -154,36 +156,61 @@ def annotate_code(content: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE) -> Li
     return sentences
 
 
+# next-chain edge arrays are identical for every sentence up to length, so
+# cache one copy and hand out read-only views (consumers concatenate/copy,
+# never mutate)
+_EDGE_CACHE_LEN = 4096
+_EDGE_IDX = np.arange(_EDGE_CACHE_LEN, dtype=np.int32)
+_EDGE_NEXT = np.full(_EDGE_CACHE_LEN, "next", dtype=object)
+
+
+def _next_chain_edges(n: int):
+    if n <= 1:
+        return ()
+    if n <= _EDGE_CACHE_LEN:
+        return (_EDGE_IDX[: n - 1], _EDGE_IDX[1:n], _EDGE_NEXT[: n - 1])
+    src = np.arange(n - 1, dtype=np.int32)
+    return (src, src + 1, np.full(n - 1, "next", dtype=object))
+
+
 def annotate_text(content: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE) -> List[Dict]:
     """Whitespace tokenization with a next-chain graph; one sentence per doc
     (SQL-oracle-reproducible: token i is element i+1 of string_split).
 
     Edges come back as a vectorized (src, dst, label) array triple — the
-    matcher's CSR builder consumes this form with no per-edge Python."""
-    import numpy as np
+    matcher's CSR builder consumes this form with no per-edge Python.
 
+    ASCII fast path: ``str.split`` never yields whitespace-only tokens, so
+    ``sanitize_token`` is the identity here; on ASCII input NFKC is also the
+    identity and aggressive normalization == ``lower`` (normalize.py:46-52),
+    which equals the lemma layer — raw aliases the split tokens and one
+    shared lowered list serves both norm and lemma (downstream batch
+    builders copy per-layer, so aliasing is safe)."""
     toks = content.split()
     if not toks:
         return []
     toks = toks[:max_tokens]
-    raw = [sanitize_token(normalize_unicode(t)) for t in toks]
-    n = len(raw)
-    if n > 1:
-        src = np.arange(n - 1, dtype=np.int32)
-        edges = (src, src + 1, np.full(n - 1, "next", dtype=object))
+    if content.isascii():
+        raw = toks
+        low = [t.lower() for t in toks]
+        norm = low
+        lemma = low
     else:
-        edges = ()
+        raw = [sanitize_token(normalize_unicode(t)) for t in toks]
+        norm = [normalize_unicode_aggressively(t) for t in raw]
+        lemma = [t.lower() for t in raw]
+    n = len(raw)
     return [
         {
             "sent_id": 0,
             "raw": raw,
             "word": raw,
-            "norm": [normalize_unicode_aggressively(t) for t in raw],
-            "lemma": [t.lower() for t in raw],
+            "norm": norm,
+            "lemma": lemma,
             "tag": ["NUM" if t.isdigit() else "WORD" for t in raw],
             "chunk": ["O"] * n,
             "entity": ["O"] * n,
-            "edges": edges,
+            "edges": _next_chain_edges(n),
             "roots": [0],
         }
     ]

@@ -168,3 +168,93 @@ def test_embedding_cosine_auto_overflow_guards_low_threshold(spark):
     # high threshold + overflow: auto routes to LSH
     routed = embedding_cosine_pairs(emb, threshold=0.9, max_broadcast_rows=5)
     assert routed.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (round-3: the brief's "IVF or LSH-bucketed variant" — LSH
+# existed; this is the IVF half, same inlined-integer reproducibility design)
+# ---------------------------------------------------------------------------
+
+
+def _spread_embeddings(spark, n=200, dim=8, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe == nlist probes every cell → IVF degenerates to the exact
+    brute-force result (the smooth recall dial's upper end)."""
+    from odinson_spark.ops.similarity import cosine_topk, ivf_ann_topk
+
+    emb = _spread_embeddings(spark)
+    exact = {
+        (r.query_id, r.rank): r.nbr_id
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.nbr_id
+        for r in ivf_ann_topk(emb, k=3, dim=8, nlist=4, nprobe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 4 cells: approximate but substantial recall, and every
+    returned neighbor is a genuine vector (no duplicates per query/rank)."""
+    from odinson_spark.ops.similarity import cosine_topk, ivf_ann_topk
+
+    emb = _spread_embeddings(spark)
+    exact = {
+        (r.query_id, r.rank): r.nbr_id
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    rows = ivf_ann_topk(emb, k=3, dim=8, nlist=4, nprobe=2).collect()
+    got = {(r.query_id, r.rank): r.nbr_id for r in rows}
+    assert len(got) == len(rows)  # (query, rank) unique → no double-scoring
+    hits = sum(1 for key, nbr in exact.items() if got.get(key) == nbr)
+    assert hits / len(exact) > 0.5
+
+
+def test_ivf_over_cap_cell_logged_not_silent(spark, caplog):
+    import logging
+
+    from odinson_spark.ops.similarity import ivf_ann_topk
+
+    emb = _clustered_embeddings(spark)  # one tight cone → one hot cell
+    with caplog.at_level(logging.WARNING, logger="odinson_spark.ops.similarity"):
+        out = ivf_ann_topk(emb, k=3, dim=8, nlist=4, nprobe=1, max_cell_size=50)
+        rows = out.collect()
+    assert rows == []
+    assert any("over-cap" in r.message for r in caplog.records)
+
+
+def test_ivf_derived_nlist_returns_results(spark):
+    from odinson_spark.ops.similarity import derive_nlist, ivf_ann_topk
+
+    emb = _spread_embeddings(spark)
+    out = ivf_ann_topk(emb, k=3, dim=8, target_cell_size=50).collect()
+    assert len(out) > 0
+    assert derive_nlist(200, 50) == 4
+
+
+def test_derive_nlist_scaling():
+    from odinson_spark.ops.similarity import derive_nlist
+
+    assert derive_nlist(100, 1024) == 2  # clamped floor
+    assert derive_nlist(10**6, 1024, max_nlist=2048) == 977
+    assert derive_nlist(10**6, 1024) == 256  # default plan-size clamp
+    # past the clamp the documented move is hierarchical (LSH-prefix × cell)
+
+
+def test_ivf_assignment_stays_jvm_side(spark):
+    """Cell assignment + probe generation must be pure Catalyst — no Python
+    worker stage anywhere in the IVF plan."""
+    from odinson_spark.ops.similarity import ivf_ann_topk
+
+    emb = _spread_embeddings(spark, n=20)
+    plan = ivf_ann_topk(emb, k=3, dim=8, nlist=4, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
