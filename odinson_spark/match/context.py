@@ -202,15 +202,14 @@ class SentenceBatch:
             self._graphs = [None] * self.n_sentences
             self.label_vocab = LabelVocab([])
             return
-        # flatten all edges across the batch once (vectorized CSR per
-        # sentence; labels interned against one batch vocabulary). Edges per
-        # sentence arrive either as a (src, dst, label) array triple (the
-        # Arrow fast path, no per-edge Python) or a list of tuples (fixtures).
+        # flatten all edges across the batch once (labels interned against
+        # one batch vocabulary). Edges per sentence arrive either as a
+        # (src, dst, label) array triple (the Arrow fast path, no per-edge
+        # Python) or a list of tuples (fixtures).
         src_parts: List[np.ndarray] = []
         dst_parts: List[np.ndarray] = []
         lab_parts: List[np.ndarray] = []
-        offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
-        total = 0
+        counts = np.zeros(self.n_sentences, dtype=np.int64)
         for i, e in enumerate(self._edges):
             if e is not None and len(e) > 0:
                 if isinstance(e, tuple):
@@ -222,18 +221,55 @@ class SentenceBatch:
                 src_parts.append(np.asarray(s, dtype=np.int32))
                 dst_parts.append(np.asarray(d, dtype=np.int32))
                 lab_parts.append(np.asarray(l, dtype=object))
-                total += len(src_parts[-1])
-            offsets[i + 1] = total
+                counts[i] = len(src_parts[-1])
         if lab_parts:
             all_labels = np.concatenate(lab_parts)
             codes, vocab = _factorize(all_labels)
-            src_arr = np.concatenate(src_parts)
-            dst_arr = np.concatenate(dst_parts)
+            src_arr = np.concatenate(src_parts).astype(np.int64, copy=False)
+            dst_arr = np.concatenate(dst_parts).astype(np.int64, copy=False)
+            codes = np.asarray(codes, dtype=np.int32)
         else:
             codes, vocab = np.zeros(0, np.int32), []
-            src_arr = np.zeros(0, np.int32)
-            dst_arr = np.zeros(0, np.int32)
+            src_arr = np.zeros(0, np.int64)
+            dst_arr = np.zeros(0, np.int64)
         self.label_vocab = LabelVocab(vocab)
+
+        # one fully-vectorized CSR pass over the WHOLE batch (no per-sentence
+        # argsort/bincount/cumsum — those small-array numpy calls were the
+        # matcher's top profile cost at 3 ops × 2 directions × sentence):
+        # sorting by (global token position of the CSR key) groups edges by
+        # sentence AND sorts within each sentence, so every per-sentence CSR
+        # is a zero-copy view into the two global sorted arrays.
+        nt = np.asarray(self.num_tokens, dtype=np.int64)
+        sent_of_edge = np.repeat(np.arange(self.n_sentences), counts)
+        edge_nt = nt[sent_of_edge]
+        valid = (src_arr >= 0) & (src_arr < edge_nt) & (dst_arr >= 0) & (dst_arr < edge_nt)
+        if not valid.all():
+            src_arr, dst_arr, codes = src_arr[valid], dst_arr[valid], codes[valid]
+            sent_of_edge = sent_of_edge[valid]
+            counts = np.bincount(sent_of_edge, minlength=self.n_sentences)
+        offsets = np.zeros(self.n_sentences + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        bases = np.zeros(self.n_sentences + 1, dtype=np.int64)
+        np.cumsum(nt, out=bases[1:])
+        total_pos = int(bases[-1])
+        edge_base = bases[sent_of_edge]
+
+        def global_csr(key_local, other_local):
+            key = edge_base + key_local
+            order = np.argsort(key, kind="stable")
+            flat = np.empty(2 * len(key), dtype=np.int32)
+            flat[0::2] = other_local[order]
+            flat[1::2] = codes[order]
+            # cum[p] = #edges with global key position < p; per-sentence
+            # slices are cum over that sentence's position range, rebased
+            cum = np.zeros(total_pos + 1, dtype=np.int64)
+            np.cumsum(np.bincount(key, minlength=total_pos), out=cum[1:])
+            return flat, cum
+
+        out_flat, out_cum = global_csr(src_arr, dst_arr)
+        in_flat, in_cum = global_csr(dst_arr, src_arr)
+
         graphs: List[Optional[Digraph]] = []
         for i in range(self.n_sentences):
             a, b = int(offsets[i]), int(offsets[i + 1])
@@ -241,13 +277,17 @@ class SentenceBatch:
                 graphs.append(None)
                 continue
             roots = (self._roots[i] if self._roots else ()) or ()
+            p0, p1 = int(bases[i]), int(bases[i + 1])
+            out_slices = 2 * (out_cum[p0 : p1 + 1] - a)
+            in_slices = 2 * (in_cum[p0 : p1 + 1] - a)
             graphs.append(
-                Digraph.from_arrays(
-                    self.num_tokens[i],
-                    src_arr[a:b],
-                    dst_arr[a:b],
-                    codes[a:b],
-                    roots,
+                Digraph(
+                    in_flat[2 * a : 2 * b],
+                    in_slices,
+                    out_flat[2 * a : 2 * b],
+                    out_slices,
+                    tuple(roots),
+                    int(nt[i]),
                 )
             )
         self._graphs = graphs

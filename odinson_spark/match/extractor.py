@@ -115,6 +115,11 @@ def _filter_trigger_overlaps(mentions: List[Mention], allow: bool) -> List[Menti
             kept = m.match.remove_trigger_overlaps()
             if kept is None:
                 continue
+            if kept is m.match:
+                # no capture dropped — the mention (and its argument
+                # sub-mentions) are unchanged, skip the rebuild
+                out.append(m)
+                continue
             args: Dict[str, List[Mention]] = {}
             for cap in kept.captures:
                 args.setdefault(cap.name, []).append(

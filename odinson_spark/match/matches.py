@@ -218,13 +218,16 @@ class EventMatch(BaseMatch):
     def remove_trigger_overlaps(self) -> Optional["EventMatch"]:
         """Drop args overlapping the trigger; the event survives only if all
         required arg counts still hold (reference OdinsonMatch.scala:72-83)."""
-        keep = tuple(
-            c for c in self.captures if not c.match.intersects(self.trigger)
-        )
+        trig = self.trigger
+        keep = [c for c in self.captures if not c.match.intersects(trig)]
+        if len(keep) == len(self.captures):
+            # nothing overlapped: packaging already enforced the required
+            # minimums, so this instance is unchanged — reuse it
+            return self
         counts = {}
         for c in keep:
             counts[c.name] = counts.get(c.name, 0) + 1
         for meta in self.arg_metadata:
             if counts.get(meta.name, 0) < meta.min:
                 return None
-        return EventMatch(self.trigger, keep, self.arg_metadata)
+        return EventMatch(self.trigger, tuple(keep), self.arg_metadata)
