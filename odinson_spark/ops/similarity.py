@@ -251,6 +251,7 @@ def ivf_ann_topk(
     seed: int = 11,
     max_cell_size: int = 100_000,
     target_cell_size: int = 1024,
+    lsh_prefix_planes: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF-Flat coarse quantizer: every vector is
     assigned to its nearest (max quantized dot) of ``nlist`` seeded
@@ -269,7 +270,15 @@ def ivf_ann_topk(
     one cell and probe cells are distinct, so no pair is scored twice.
     Over-cap cells are dropped deterministically and LOGGED (never silent);
     ``nlist=None`` derives the cell count from corpus size
-    (:func:`derive_nlist`)."""
+    (:func:`derive_nlist`).
+
+    ``lsh_prefix_planes > 0`` turns on the hierarchical trillion-row shard:
+    the join key becomes ``lsh_bucket * nlist + cell``, multiplying the key
+    space (2^planes × nlist) without growing the inlined centroid set.
+    Candidates must then share the hyperplane bucket too — recall narrows
+    to near-duplicates the prefix keeps together, which is exactly the
+    regime where 10^12-row ANN is used (the prefix planes are seeded at
+    ``seed + 1`` so they are independent of the centroids)."""
     if nlist is None:
         nlist = derive_nlist(embeddings.count(), target_cell_size)
         logger.info("ivf_ann_topk: derived nlist=%d", nlist)
@@ -278,16 +287,27 @@ def ivf_ann_topk(
     ranked_cells = embeddings.withColumn(
         "_cells", _cell_rank_array(F.col("embedding"), centroids)
     )
+    if lsh_prefix_planes > 0:
+        planes = _hyperplanes_int(dim, lsh_prefix_planes, seed + 1)
+        prefix = _bucket_column(F.col("embedding"), planes) * F.lit(nlist)
+    else:
+        prefix = F.lit(0).cast("long")
+    ranked_cells = ranked_cells.withColumn("_prefix", prefix)
     base = ranked_cells.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("vb"),
-        F.element_at("_cells", 1)["idx"].alias("cell"),
+        (F.col("_prefix") + F.element_at("_cells", 1)["idx"]).alias("cell"),
     )
     base = _cap_buckets(base, max_cell_size, "ivf_ann_topk", key="cell")
     probes = ranked_cells.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),
-        F.explode(F.slice("_cells", 1, nprobe)["idx"]).alias("cell"),
+        F.col("_prefix"),
+        F.explode(F.slice("_cells", 1, nprobe)["idx"]).alias("_probe_cell"),
+    ).select(
+        "query_id",
+        "va",
+        (F.col("_prefix") + F.col("_probe_cell")).alias("cell"),
     )
     cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
     scored = (

@@ -258,3 +258,44 @@ def test_ivf_assignment_stays_jvm_side(spark):
     plan = ivf_ann_topk(emb, k=3, dim=8, nlist=4, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_ivf_lsh_prefix_hierarchical_shard(spark):
+    """lsh_prefix_planes composes the key as bucket*nlist+cell. On a tight
+    one-cone corpus every vector shares the LSH bucket, so the hierarchical
+    result must EQUAL plain IVF (prefix is a constant offset); on a spread
+    corpus every returned neighbor must share its query's bucket."""
+    from odinson_spark.ops.similarity import (
+        _bucket_column,
+        _hyperplanes_int,
+        ivf_ann_topk,
+    )
+    from pyspark.sql import functions as F
+
+    cone = _clustered_embeddings(spark, n=80)
+    plain = {
+        (r.query_id, r.rank): (r.nbr_id, r.cosine)
+        for r in ivf_ann_topk(cone, k=3, dim=8, nlist=4, nprobe=2).collect()
+    }
+    hier = {
+        (r.query_id, r.rank): (r.nbr_id, r.cosine)
+        for r in ivf_ann_topk(
+            cone, k=3, dim=8, nlist=4, nprobe=2, lsh_prefix_planes=4
+        ).collect()
+    }
+    assert hier == plain
+
+    spread = _spread_embeddings(spark, n=150)
+    planes = _hyperplanes_int(8, 4, seed=11 + 1)  # seed+1: the prefix planes
+    buckets = {
+        r.vec_id: r.b
+        for r in spread.select(
+            "vec_id", _bucket_column(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    rows = ivf_ann_topk(
+        spread, k=3, dim=8, nlist=4, nprobe=4, lsh_prefix_planes=4
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert buckets[r.query_id] == buckets[r.nbr_id]
