@@ -83,7 +83,19 @@ def test_streaming_dedup(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "cp3"))
         .start()
     )
-    q.awaitTermination(120)
+    # the stateful operator registers ProcessingTimeTimeout timers, which
+    # keep the availableNow query alive long after the data is drained —
+    # poll the sink and stop once both groups have landed instead of
+    # burning the full timeout (this was the suite's slowest test at 120 s)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.awaitTermination(5):
+            break
+        if spark.sql("SELECT * FROM stream_dedup").count() >= 2:
+            break
+    q.stop()
     rows = spark.sql("SELECT * FROM stream_dedup").collect()
     by_hash = {r.text_hash: r for r in rows}
     assert len(by_hash) == 2  # one row per distinct content
