@@ -471,6 +471,10 @@ rules:
     q["ann_ivf"] = lambda s, d: sim.ivf_ann_topk(
         _t(s, d, "embeddings"), k=5, nlist=8, nprobe=3
     ).orderBy("query_id", "rank")
+    # hierarchical trillion-row shard: join key = lsh_bucket*nlist + cell
+    q["ann_ivf_h"] = lambda s, d: sim.ivf_ann_topk(
+        _t(s, d, "embeddings"), k=5, nlist=8, nprobe=3, lsh_prefix_planes=4
+    ).orderBy("query_id", "rank")
 
     # --- text analysis -----------------------------------------------------------
     q["text_tokens"] = lambda s, d: tx.token_stats(_t(s, d, "documents")).orderBy("doc_id")
@@ -919,6 +923,10 @@ ORDER BY query_id, rank
     o["ann_lsh"] = sim.lsh_ann_oracle_sql(k=5) + "\nORDER BY query_id, rank"
     o["ann_ivf"] = (
         sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3) + "\nORDER BY query_id, rank"
+    )
+    o["ann_ivf_h"] = (
+        sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, lsh_prefix_planes=4)
+        + "\nORDER BY query_id, rank"
     )
 
     # text analysis

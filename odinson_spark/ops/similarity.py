@@ -331,34 +331,60 @@ def ivf_ann_oracle_sql(
     nprobe: int = 3,
     seed: int = 11,
     max_cell_size: int = 100_000,
+    lsh_prefix_planes: int = 0,
 ) -> str:
     """DuckDB SQL computing the identical IVF result: centroids inlined as
     VALUES, quantized integer dots make cell assignment engine-independent,
-    ties broken by centroid index on both sides."""
+    ties broken by centroid index on both sides.  ``lsh_prefix_planes > 0``
+    mirrors the hierarchical shard: the key is ``bucket * nlist + cell``
+    with the prefix planes seeded at ``seed + 1``, exactly as the Spark
+    side."""
     nprobe = min(nprobe, nlist)
     cents = _centroids_int(dim, nlist, seed)
     values = ", ".join(
         f"({c}, {i + 1}, {int(cents[c][i])})" for c in range(nlist) for i in range(dim)
     )
+    if lsh_prefix_planes > 0:
+        planes = _hyperplanes_int(dim, lsh_prefix_planes, seed + 1)
+        pvalues = ", ".join(
+            f"({p}, {i + 1}, {int(planes[p][i])})"
+            for p in range(lsh_prefix_planes)
+            for i in range(dim)
+        )
+        prefix_ctes = f"""
+planes(p, i, w) AS (VALUES {pvalues}),
+pdots AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.embedding[pl.i]::DOUBLE * pl.w::DOUBLE * {float(_QUANT)}) AS BIGINT)) AS dot
+  FROM {table} e, planes pl GROUP BY e.vec_id, pl.p
+),
+prefixes AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) * {nlist} AS prefix
+  FROM pdots GROUP BY vec_id
+),"""
+    else:
+        prefix_ctes = f"""
+prefixes AS (SELECT vec_id, 0::BIGINT AS prefix FROM {table}),"""
     return f"""
-WITH cents(c, i, w) AS (VALUES {values}),
+WITH cents(c, i, w) AS (VALUES {values}),{prefix_ctes}
 dots AS (
   SELECT e.vec_id, ct.c,
          sum(CAST(floor(e.embedding[ct.i]::DOUBLE * ct.w::DOUBLE * {float(_QUANT)}) AS BIGINT)) AS dot
   FROM {table} e, cents ct GROUP BY e.vec_id, ct.c
 ),
 ranked_cells AS (
-  SELECT vec_id, c,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
-  FROM dots
+  SELECT d.vec_id, px.prefix + d.c AS cell,
+         row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dot DESC, d.c ASC) AS rn
+  FROM dots d JOIN prefixes px ON px.vec_id = d.vec_id
 ),
-base0 AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rn = 1),
+base0 AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
 counts AS (SELECT cell, count(*) AS n FROM base0 GROUP BY cell),
 base AS (
   SELECT b.vec_id, b.cell FROM base0 b
   JOIN counts c ON b.cell = c.cell WHERE c.n <= {max_cell_size}
 ),
-probes AS (SELECT vec_id AS query_id, c AS cell FROM ranked_cells WHERE rn <= {nprobe}),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
 cand AS (
   SELECT p.query_id, c.vec_id AS nbr_id
   FROM probes p JOIN base c ON p.cell = c.cell AND p.query_id <> c.vec_id
