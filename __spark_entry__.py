@@ -475,6 +475,14 @@ rules:
     q["ann_ivf_h"] = lambda s, d: sim.ivf_ann_topk(
         _t(s, d, "embeddings"), k=5, nlist=8, nprobe=3, lsh_prefix_planes=4
     ).orderBy("query_id", "rank")
+    # trained coarse quantizer: deterministic spherical k-means on the first
+    # 256 rows by vec_id — the oracle trains the SAME centroids from the
+    # same parquet via pyarrow (trained_centroids_from_parquet), so the
+    # trained variant stays a fully hash-checked gate
+    q["ann_ivf_trained"] = lambda s, d: sim.ivf_ann_topk(
+        _t(s, d, "embeddings"), k=5, nlist=8, nprobe=3, train=True,
+        train_sample=256,
+    ).orderBy("query_id", "rank")
 
     # --- text analysis -----------------------------------------------------------
     q["text_tokens"] = lambda s, d: tx.token_stats(_t(s, d, "documents")).orderBy("doc_id")
@@ -926,6 +934,19 @@ ORDER BY query_id, rank
     )
     o["ann_ivf_h"] = (
         sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, lsh_prefix_planes=4)
+        + "\nORDER BY query_id, rank"
+    )
+    # trained IVF: the oracle generator trains the SAME integer centroids
+    # from the same parquet the driver's oracle reads (sf0.01), pyarrow-side
+    # — bit-identical to the Spark query's train=True path on that sf
+    import os
+
+    _oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _tc = sim.trained_centroids_from_parquet(
+        f"{_oracle_sf}/embeddings.parquet", nlist=8, seed=11, train_sample=256
+    )
+    o["ann_ivf_trained"] = (
+        sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, centroids=_tc)
         + "\nORDER BY query_id, rank"
     )
 

@@ -4,9 +4,13 @@ The reference's corpus-construction API: typed fields
 (``TokensField``/``GraphField``/``StringField``/``DateField``/
 ``NumberField``/``NestedField``), ``Sentence``, ``Document``, JSON in both
 compact and pretty forms with ``$type`` discriminators. The JSON emitted
-here is byte-compatible with the reference's uPickle output for non-empty
-values (same key order, same ``$type`` strings, ``store`` omitted when
-false), so corpora round-trip between the two systems.
+here round-trips semantically with the reference's uPickle output (same key
+order, same ``$type`` strings, ``store`` omitted when false) but is not
+guaranteed byte-identical: known divergences are ``"store": true`` (an
+extension — the reference case classes have no ``store`` member), whole
+doubles (uPickle renders ``5`` where ``json.dumps`` renders ``5.0``), and
+``GraphField`` roots (the reference serializes a Set in iteration order;
+this module sorts them for determinism).
 
 Behavioral parity: foundations/TestOdinsonDocument.scala:11-196
 (fromJson/toJson/toPrettyJson round-trips, DateField date handling,

@@ -212,7 +212,9 @@ class SentenceBatch:
         counts = np.zeros(self.n_sentences, dtype=np.int64)
         for i, e in enumerate(self._edges):
             if e is not None and len(e) > 0:
-                if isinstance(e, tuple):
+                if isinstance(e, tuple) and len(e) == 3 and hasattr(e[0], "dtype"):
+                    # the dtype check keeps a plain 3-tuple of (src, dst,
+                    # label) edge tuples on the generic per-edge path below
                     s, d, l = e
                 else:
                     s = np.fromiter((x[0] for x in e), dtype=np.int32, count=len(e))

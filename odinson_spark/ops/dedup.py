@@ -414,6 +414,7 @@ def embedding_cosine_pairs_lsh(
     n_probes: int | None = None,
     max_bucket_size: int = 100_000,
     target_bucket_size: int = 1024,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed cosine pairs — the scale path for
     :func:`embedding_cosine_pairs`: candidates are restricted to vectors
@@ -439,8 +440,9 @@ def embedding_cosine_pairs_lsh(
     if n_planes is None:
         # scale-safe default: plane count derived from corpus size so bucket
         # occupancy stays near target_bucket_size (a fixed count goes empty
-        # under the cap at high cardinality)
-        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+        # under the cap at high cardinality); n_vectors skips the count()
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        n_planes = derive_n_planes(n, target_bucket_size)
     b = add_lsh_bucket(embeddings, dim, n_planes, seed)
     if n_probes is None:
         n_probes = n_planes
@@ -496,26 +498,32 @@ def embedding_cosine_pairs(
     * ``"lsh"`` — always route (explicit opt-in to approximate results).
     * ``"raise"`` — exact-or-nothing."""
     spark = embeddings.sparkSession
-    n_rows = embeddings.count()
-    if n_rows > max_broadcast_rows:
+    # single-pass guard: collect AT MOST max_broadcast_rows+1 rows — the
+    # limit both detects overflow (len == max+1) and IS the exact path's
+    # materialization, so no separate count() action/scan is paid
+    pdf_all = (
+        embeddings.select("vec_id", "embedding")
+        .limit(max_broadcast_rows + 1)
+        .toPandas()
+    )
+    if len(pdf_all) > max_broadcast_rows:
         route = on_overflow == "lsh" or (on_overflow == "auto" and threshold >= 0.7)
         if route:
-            dim = len(
-                embeddings.select("embedding").first()["embedding"]
-            )
+            dim = len(pdf_all["embedding"].iloc[0])
+            del pdf_all
             return embedding_cosine_pairs_lsh(embeddings, threshold, dim=dim)
         if on_overflow == "auto":
             raise ValueError(
-                f"{n_rows} vectors exceeds the brute-force broadcast limit and "
-                f"threshold={threshold} < 0.7 is too low for the LSH substitute "
-                f"(recall collapses at moderate thresholds); pass "
-                f"on_overflow='lsh' to accept approximate results, or use "
-                f"minhash blocking on content"
+                f"more than {max_broadcast_rows} vectors exceeds the "
+                f"brute-force broadcast limit and threshold={threshold} < 0.7 "
+                f"is too low for the LSH substitute (recall collapses at "
+                f"moderate thresholds); pass on_overflow='lsh' to accept "
+                f"approximate results, or use minhash blocking on content"
             )
         raise ValueError(
-            f"{n_rows} vectors exceeds brute-force broadcast limit; use LSH blocking"
+            f"more than {max_broadcast_rows} vectors exceeds brute-force "
+            f"broadcast limit; use LSH blocking"
         )
-    pdf_all = embeddings.select("vec_id", "embedding").toPandas()
     ids_all = pdf_all["vec_id"].to_numpy()
     mat_all = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all["embedding"]])
     norms_all = np.sqrt(np.einsum("ij,ij->i", mat_all, mat_all))

@@ -46,24 +46,33 @@ def derive_n_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
     return max(4, min(30, math.ceil(math.log2(n / max(target_bucket_size, 1)))))
 
 
-def _cap_buckets(base: DataFrame, max_bucket_size: int, op_name: str, key: str = "bucket"):
+def _cap_buckets(
+    base: DataFrame,
+    max_bucket_size: int,
+    op_name: str,
+    key: str = "bucket",
+    knobs: str = "max_bucket_size or n_planes",
+):
     """Drop over-cap buckets — but never silently: the dropped bucket ids and
-    sizes are logged (the counts side is tiny, ≤ one row per bucket, and is
-    persisted so the logging action and the join share one scan)."""
-    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("_n")).persist()
+    sizes are logged. The logging action only materializes the over-cap rows
+    (≤ one tiny row per hot bucket); the join side recomputes the groupBy
+    rather than persisting it — a deliberate trade: a leaked cached dataset
+    per call costs executor memory for the session lifetime, while the
+    recompute is one extra pass over the (vec_id, bucket) projection."""
+    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     dropped = counts.filter(F.col("_n") > max_bucket_size).collect()
     if dropped:
         total = sum(r["_n"] for r in dropped)
         logger.warning(
             "%s: dropping %d over-cap bucket(s) holding %d vectors "
-            "(max_bucket_size=%d): %s%s — raise max_bucket_size or n_planes "
-            "to keep them",
+            "(cap=%d): %s%s — raise %s to keep them",
             op_name,
             len(dropped),
             total,
             max_bucket_size,
             [(r[key], r["_n"]) for r in dropped[:10]],
             "…" if len(dropped) > 10 else "",
+            knobs,
         )
     return base.join(counts, key).filter(F.col("_n") <= max_bucket_size).drop("_n")
 
@@ -143,6 +152,7 @@ def lsh_ann_topk(
     n_probes: int | None = None,
     max_bucket_size: int = 100_000,
     target_bucket_size: int = 1024,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with hyperplane LSH + 1-bit-flip multi-probe.
 
@@ -155,12 +165,15 @@ def lsh_ann_topk(
     ``n_planes=None`` (default) derives the plane count from the corpus size
     (:func:`derive_n_planes`) so bucket occupancy stays near
     ``target_bucket_size`` at any scale; pass it explicitly for
-    reproducibility against a fixed oracle.
+    reproducibility against a fixed oracle. Pass ``n_vectors`` (the caller
+    usually knows the corpus size) to skip the ``count()`` action the
+    derivation otherwise pays.
 
     Skew guard: candidate buckets above ``max_bucket_size`` are dropped
     deterministically and LOGGED with their sizes (never silent)."""
     if n_planes is None:
-        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        n_planes = derive_n_planes(n, target_bucket_size)
         logger.info("lsh_ann_topk: derived n_planes=%d", n_planes)
     if n_probes is None:
         n_probes = n_planes
@@ -222,6 +235,72 @@ def _centroids_int(dim: int, nlist: int, seed: int) -> np.ndarray:
     return rng.randint(-1000, 1001, size=(nlist, dim)).astype(np.int64)
 
 
+def train_centroids_int(
+    sample: np.ndarray, nlist: int, seed: int = 11, iters: int = 15
+) -> np.ndarray:
+    """Deterministic spherical k-means → integer-quantized centroids.
+
+    Random centroids make IVF recall collapse on real (clustered) embedding
+    distributions — most Voronoi cells are empty and a few are hot. This
+    trains on a driver-side sample instead: seeded kmeans++-style init, a
+    fixed number of Lloyd iterations (no data-dependent early exit), unit-
+    normalized centroids scaled to integers in [-1000, 1000]. Assignment by
+    max quantized dot against equal-norm centroids ≈ max cosine, matching
+    the spherical training objective.
+
+    Everything is plain float64 numpy over the SAME sample rows in the SAME
+    order, so the Spark query side and the DuckDB oracle generator produce
+    bit-identical integer centroids from the same parquet — the trained
+    variant stays a fully hash-checked gate."""
+    mat = np.asarray(sample, dtype=np.float64)
+    if mat.ndim != 2 or len(mat) == 0:
+        raise ValueError("training sample must be a non-empty 2-D matrix")
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
+    nlist = min(nlist, len(unit))
+    rng = np.random.RandomState(seed)
+    # kmeans++-style init on the unit sphere: first pick seeded, each next
+    # centroid the sample point FARTHEST (min-max, deterministic argmax ties
+    # to lowest index) from the chosen set — spreads inits across clusters
+    chosen = [int(rng.randint(len(unit)))]
+    sims = unit @ unit[chosen[0]]
+    for _ in range(1, nlist):
+        nxt = int(np.argmin(sims))
+        chosen.append(nxt)
+        sims = np.maximum(sims, unit @ unit[nxt])
+    cents = unit[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for c in range(nlist):
+            members = unit[assign == c]
+            if len(members) == 0:
+                continue  # keep previous centroid — deterministic
+            m = members.sum(axis=0)
+            n = np.sqrt(m @ m)
+            if n > 0:
+                cents[c] = m / n
+    return np.round(cents * 1000.0).astype(np.int64)
+
+
+def trained_centroids_from_parquet(
+    path: str,
+    nlist: int,
+    seed: int = 11,
+    train_sample: int = 16_384,
+    iters: int = 15,
+) -> np.ndarray:
+    """Train centroids from an embeddings parquet file WITHOUT Spark (pyarrow
+    driver-side read) — the oracle-SQL generator uses this to inline the same
+    centroids the Spark query trains. The sample is the first ``train_sample``
+    rows ordered by vec_id: a deterministic rule both engines reproduce."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id", kind="mergesort").head(train_sample)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return train_centroids_int(mat, nlist, seed, iters)
+
+
 def _cell_rank_array(emb_col, centroids: np.ndarray):
     """array<struct<nd,long idx,int>> sorted by quantized dot DESC, centroid
     index ASC — element 1 is the assignment cell, the first ``nprobe``
@@ -252,6 +331,10 @@ def ivf_ann_topk(
     max_cell_size: int = 100_000,
     target_cell_size: int = 1024,
     lsh_prefix_planes: int = 0,
+    n_vectors: int | None = None,
+    train: bool = False,
+    train_sample: int = 16_384,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF-Flat coarse quantizer: every vector is
     assigned to its nearest (max quantized dot) of ``nlist`` seeded
@@ -278,12 +361,34 @@ def ivf_ann_topk(
     Candidates must then share the hyperplane bucket too — recall narrows
     to near-duplicates the prefix keeps together, which is exactly the
     regime where 10^12-row ANN is used (the prefix planes are seeded at
-    ``seed + 1`` so they are independent of the centroids)."""
+    ``seed + 1`` so they are independent of the centroids).
+
+    ``train=True`` replaces the seeded-random centroids with deterministic
+    spherical k-means on a driver-side sample (:func:`train_centroids_int` —
+    first ``train_sample`` rows ordered by vec_id), the fix for the random-
+    centroid recall collapse on clustered data; ``centroids`` overrides both
+    (e.g. trained once and reused across queries). ``n_vectors`` skips the
+    ``count()`` action the nlist derivation otherwise pays."""
     if nlist is None:
-        nlist = derive_nlist(embeddings.count(), target_cell_size)
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        nlist = derive_nlist(n, target_cell_size)
         logger.info("ivf_ann_topk: derived nlist=%d", nlist)
     nprobe = min(nprobe, nlist)
-    centroids = _centroids_int(dim, nlist, seed)
+    if centroids is None:
+        if train:
+            pdf = (
+                embeddings.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(train_sample)
+                .toPandas()
+                .sort_values("vec_id", kind="mergesort")
+            )
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            centroids = train_centroids_int(mat, nlist, seed)
+        else:
+            centroids = _centroids_int(dim, nlist, seed)
+    nlist = len(centroids)
+    nprobe = min(nprobe, nlist)
     ranked_cells = embeddings.withColumn(
         "_cells", _cell_rank_array(F.col("embedding"), centroids)
     )
@@ -298,7 +403,10 @@ def ivf_ann_topk(
         F.col("embedding").cast("array<double>").alias("vb"),
         (F.col("_prefix") + F.element_at("_cells", 1)["idx"]).alias("cell"),
     )
-    base = _cap_buckets(base, max_cell_size, "ivf_ann_topk", key="cell")
+    base = _cap_buckets(
+        base, max_cell_size, "ivf_ann_topk", key="cell",
+        knobs="max_cell_size or nlist",
+    )
     probes = ranked_cells.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),
@@ -332,15 +440,19 @@ def ivf_ann_oracle_sql(
     seed: int = 11,
     max_cell_size: int = 100_000,
     lsh_prefix_planes: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> str:
     """DuckDB SQL computing the identical IVF result: centroids inlined as
     VALUES, quantized integer dots make cell assignment engine-independent,
     ties broken by centroid index on both sides.  ``lsh_prefix_planes > 0``
     mirrors the hierarchical shard: the key is ``bucket * nlist + cell``
     with the prefix planes seeded at ``seed + 1``, exactly as the Spark
-    side."""
+    side.  ``centroids`` overrides the seeded-random set — pass
+    :func:`trained_centroids_from_parquet` output to mirror a
+    ``train=True`` Spark query."""
+    cents = _centroids_int(dim, nlist, seed) if centroids is None else centroids
+    nlist = len(cents)
     nprobe = min(nprobe, nlist)
-    cents = _centroids_int(dim, nlist, seed)
     values = ", ".join(
         f"({c}, {i + 1}, {int(cents[c][i])})" for c in range(nlist) for i in range(dim)
     )

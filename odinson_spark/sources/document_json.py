@@ -132,7 +132,13 @@ def _meta_values(meta_list):
             continue
         prev = kinds.get(name)
         if prev is not None and prev != kind:
-            continue  # first-kind-wins: drop the conflicting later value
+            # deterministic conflict resolution: lexicographically smallest
+            # kind wins — the SAME rule _infer_metadata applies across
+            # documents, so a cross-doc conflict can't end up typing a column
+            # for one kind while a doc carries the other kind's value
+            if kind >= prev:
+                continue
+            vals.pop(name, None)
         kinds[name] = kind
         if kind == "nested":
             inner, _ = _meta_values(f.get("fields"))
@@ -159,9 +165,13 @@ def _infer_metadata(spark: SparkSession, lines: DataFrame):
     Deliberately a *metadata-only* pass: each line is parsed but sentences
     are never expanded or normalized, so the inference jobs cost a fraction
     of the ingest proper (the sentence fields dominate every real document).
-    One Spark job computes both outputs (schema inference over the collected
-    distinct metadata strings stays driver-side — corpora have few distinct
-    metadata *shapes* even when they have many documents)."""
+
+    Everything stays distributed: the union schema comes from
+    ``spark.read.json`` over the metadata-value strings (Spark's own
+    distributed inference — never collected, because the strings carry
+    metadata VALUES, which are as numerous as the documents), and the kind
+    map is reduced to the distinct (name, kind) pairs — genuinely tiny —
+    before the only collect."""
     from pyspark.sql import functions as F
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,21 +186,31 @@ def _infer_metadata(spark: SparkSession, lines: DataFrame):
                 mks.append(json.dumps(kinds))
             yield pd.DataFrame({"meta_json": mjs, "meta_kinds_json": mks})
 
-    meta = lines.mapInPandas(fn, "meta_json string, meta_kinds_json string")
-    rows = meta.groupBy("meta_json", "meta_kinds_json").count().drop("count").collect()
-    if not rows:
-        return None, {}
-    meta_schema = spark.read.json(
-        spark.sparkContext.parallelize([r[0] or "{}" for r in rows])
-    ).schema
-    kinds: Dict[str, str] = {}
-    # deterministic cross-document kind resolution: lexicographically
-    # smallest kind wins on conflict (first-kind-wins has no stable order
-    # across partitions)
-    for r in rows:
-        for name, kind in json.loads(r[1] or "{}").items():
-            if name not in kinds or kind < kinds[name]:
-                kinds[name] = kind
+    meta = lines.mapInPandas(fn, "meta_json string, meta_kinds_json string").persist()
+    try:
+        # deterministic cross-document kind resolution: lexicographically
+        # smallest kind wins on conflict — the same rule _meta_values applies
+        # within a document (first-kind-wins has no stable order across
+        # partitions)
+        kind_rows = (
+            meta.select(
+                F.explode(
+                    F.from_json("meta_kinds_json", "map<string,string>")
+                ).alias("name", "kind")
+            )
+            .groupBy("name")
+            .agg(F.min("kind").alias("kind"))
+            .collect()
+        )
+        if not kind_rows and meta.isEmpty():
+            return None, {}
+        kinds: Dict[str, str] = {r["name"]: r["kind"] for r in kind_rows}
+        meta_schema = spark.read.json(
+            meta.select(F.coalesce("meta_json", F.lit("{}")).alias("value"))
+            .rdd.map(lambda r: r[0])
+        ).schema
+    finally:
+        meta.unpersist()
     return meta_schema, kinds
 
 
@@ -250,6 +270,16 @@ def read_document_json(
         meta_schema, inferred_kinds = _infer_metadata(spark, lines)
         if meta_kinds is None:
             meta_kinds = inferred_kinds
+    elif meta_kinds is None:
+        import warnings
+
+        warnings.warn(
+            "meta_schema was given without meta_kinds: DateField-backed "
+            "meta_* columns will come back as strings, typed differently "
+            "from the inferred path — pass meta_kinds (e.g. "
+            "{'pubdate': 'date'}) to keep typed columns",
+            RuntimeWarning,
+        )
     kinds = meta_kinds or {}
     fields = (
         []

@@ -93,8 +93,10 @@ def sentence_batch_from_docs(
             # derived per-token incoming/outgoing label lists
             inc = [[] for _ in raw]
             out = [[] for _ in raw]
-            if isinstance(e, tuple) and len(e) == 3:
+            if isinstance(e, tuple) and len(e) == 3 and hasattr(e[0], "dtype"):
                 # vectorized (src, dst, label) array triple from an annotator
+                # (the dtype check keeps a plain 3-tuple of (src, dst, label)
+                # edge tuples on the generic path below)
                 edge_iter = zip(e[0].tolist(), e[1].tolist(), e[2].tolist())
             else:
                 edge_iter = iter(e)
