@@ -238,6 +238,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_code_arg"] = lambda s, d: _code_pattern(s, d, "[entity=CALL] >arg []")
     q["graph_code_assign"] = lambda s, d: _code_pattern(s, d, "[] >assign []")
+    # expansion (?^ …): surface + traversal + expansion in one pattern
+    # (reference lucene/search/ExpandQuery.scala:125-145). The >arg hop lands
+    # on each argument token; the inner `[] >next []` produces graph matches
+    # grouped by source and widened to [min(start), max(end)]; the inverted
+    # dst index admits every widened span covering the landing token and the
+    # leftmost-longest selector keeps [3,5) "( argN" / [5,7) ", argN" —
+    # fixed lexer positions the oracle predicts from the construction.
+    q["pat_expand"] = lambda s, d: _code_pattern(
+        s, d, "[entity=CALL] >arg (?^ [] >next [])"
+    )
 
     # --- events / triples ---------------------------------------------------
     def event_triple(s, d):
@@ -713,6 +723,16 @@ SELECT * FROM (
         + """
 SELECT doc_id, 2::INT AS mstart, 3::INT AS mend, t1 AS mtext FROM c
 ORDER BY doc_id, mstart, mend
+"""
+    )
+    o["pat_expand"] = (
+        _CODE_TOKS
+        + """
+SELECT * FROM (
+  SELECT doc_id, 3::INT AS mstart, 5::INT AS mend, '( ' || t2 AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 5::INT AS mstart, 7::INT AS mend, ', ' || t3 AS mtext FROM c
+) q ORDER BY doc_id, mstart, mend
 """
     )
 

