@@ -54,6 +54,19 @@ def run_kg_pipeline(spark, sf_dir: str, replicate: int = 1) -> int:
     return triples.count()
 
 
+def _burn_probe() -> float:
+    """Host-health probe: wall seconds for a fixed pure-Python loop. Healthy
+    windows on this VM measure ~1.5-2 s; sustained ≥2.8 s means the
+    hypervisor is throttling CPU delivery and every timing below is
+    uniformly inflated (see BENCH.md) — recorded in the output so a reader
+    can judge the run, never used to block it."""
+    t = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return round(time.time() - t, 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
@@ -61,6 +74,7 @@ def main():
     from odinson_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    burn_pre = _burn_probe()
     spark = get_spark(app_name="odinson-bench")
     qs = entrymod.queries()
     # warm-up: spin up Python workers / JIT / codegen on the tiny SF so the
@@ -70,31 +84,34 @@ def main():
     qs["pat_term"](spark, "/root/testdata/sf0.001").count()
     qs["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
     timings = {}
-    t_total = 0.0
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))  # host CPU delivery
-    # varies run-to-run; best-of-3 is the noise floor we can afford per round
-    for name in BENCH_QUERIES:
-        best = None
-        for _ in range(repeats):
+    # varies run-to-run; best-of-N in INTERLEAVED rounds — a slow host
+    # minute then degrades one round of every query instead of silently
+    # poisoning all N repeats of whichever query it overlapped
+    for _ in range(repeats):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             if name == "kg_pipeline":
                 run_kg_pipeline(spark, sf_dir)
             else:
                 qs[name](spark, sf_dir).count()
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        t_total += timings[name]
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    t_total = round(sum(timings.values()), 3)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     result = {
         "metric": "headline query wall time (kg extraction + dedup + ann + relational)",
-        "value": round(t_total, 3),
+        "value": t_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "docs": n_docs,
         "docs_per_sec_kg": round(n_docs / timings["kg_pipeline"], 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "burn_pre": burn_pre,
+        "burn_post": _burn_probe(),
     }
     print(json.dumps(result))
     spark.stop()

@@ -78,16 +78,18 @@ def _workload_throughput(n: int) -> float:
     this carries the pipeline's true memory traffic, so the ceiling it
     measures is the one the pipeline can actually reach on this host."""
     env = dict(os.environ, PROFILE="0", REPEATS="1")
+    pin = os.environ.get("PIN_CORES", "0") == "1"
     t0 = time.time()
     ps = [
         subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "benchmarks", "profile_floor.py")],
+            (["taskset", "-c", str(i)] if pin else [])
+            + [sys.executable, os.path.join(REPO, "benchmarks", "profile_floor.py")],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
             env=env,
             cwd=REPO,
         )
-        for _ in range(n)
+        for i in range(n)
     ]
     for p in ps:
         p.wait()
