@@ -69,7 +69,10 @@ def _burn_probe() -> float:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.0  # non-numeric suffix (e.g. the ×10 'sfbig' dataset)
 
     from odinson_spark.session import get_spark
     import __spark_entry__ as entrymod

@@ -148,6 +148,10 @@ class SearchEngine:
             .limit(n)
             .collect()
         )
+        # NOTE: compute_total_hits runs the matcher twice (full count + the
+        # top-N page) — mirrors the reference's computeTotalHits toggle
+        # (ExtractorEngine.scala), off by default precisely because it
+        # doubles the query cost
         total = m.count() if compute_total_hits else None
         nxt = None
         if n > 0 and len(page) == n:
