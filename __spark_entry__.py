@@ -458,6 +458,13 @@ rules:
     q["dedup_embed_cosine"] = lambda s, d: dd.embedding_cosine_pairs(
         _t(s, d, "embeddings"), threshold=0.35
     ).orderBy("vec_a", "vec_b")
+    # IVF-bucketed pair mining with TRAINED centroids — the moderate-
+    # threshold route hyperplane LSH can't serve (recall collapses < 0.7);
+    # oracle trains bit-identical centroids from the same parquet
+    q["dedup_embed_cosine_ivf"] = lambda s, d: sim.embedding_cosine_pairs_ivf(
+        _t(s, d, "embeddings"), threshold=0.35, nlist=8, nprobe=3,
+        train=True, train_sample=256,
+    ).orderBy("vec_a", "vec_b")
 
     # --- similarity search -----------------------------------------------------
     def ann_topk(s, d):
@@ -968,6 +975,10 @@ ORDER BY query_id, rank
     o["ann_ivf_trained"] = (
         sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, centroids=_tc)
         + "\nORDER BY query_id, rank"
+    )
+    o["dedup_embed_cosine_ivf"] = (
+        sim.ivf_pairs_oracle_sql(threshold=0.35, nlist=8, nprobe=3, centroids=_tc)
+        + "\nORDER BY vec_a, vec_b"
     )
 
     # text analysis

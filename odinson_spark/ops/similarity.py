@@ -177,8 +177,14 @@ def lsh_ann_topk(
     target_bucket_size: int = 1024,
     n_vectors: int | None = None,
     queries: DataFrame | None = None,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k with hyperplane LSH + 1-bit-flip multi-probe.
+
+    ``probe_bits=2`` additionally probes every 2-bit-flip neighbor bucket
+    (C(n_probes, 2) extras) — recovers neighbors that crossed two
+    hyperplanes, a large recall uplift on clustered data at quadratic probe
+    cost (measured in tests/test_ann_recall.py).
 
     ``queries=None`` (default) answers every corpus vector against the rest
     (the all-pairs/self-join shape); pass a separate ``queries`` DataFrame
@@ -214,13 +220,19 @@ def lsh_ann_topk(
     )
     base = _cap_buckets(base, max_bucket_size, "lsh_ann_topk")
     qb = b if queries is None else add_lsh_bucket(queries, dim, n_planes, seed)
+    masks = [0] + [1 << j for j in range(n_probes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_probes)
+            for j in range(i + 1, n_probes)
+        ]
     probes = qb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("va"),
         F.explode(
             F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)],
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
             )
         ).alias("bucket"),
     )
@@ -649,4 +661,149 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, nbr_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_cosine_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    nlist: int | None = None,
+    nprobe: int = 3,
+    seed: int = 11,
+    max_cell_size: int = 100_000,
+    target_cell_size: int = 1024,
+    n_vectors: int | None = None,
+    train: bool = True,
+    train_sample: int = 16_384,
+    centroids: np.ndarray | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """IVF-bucketed cosine pairs — the MODERATE-threshold pair-mining route
+    hyperplane LSH can't serve (its pair recall collapses below cosine
+    ~0.7, see :func:`odinson_spark.ops.dedup.embedding_cosine_pairs_lsh`).
+
+    Candidates are pairs sharing a (probed) Voronoi cell of the trained
+    coarse quantizer: with ``train=True`` (the default — random centroids
+    are only useful for fixed-oracle gates) cells track the corpus's actual
+    direction clusters, so vectors at cosine ≥ ~0.3 of each other
+    overwhelmingly co-occur within ``nprobe`` nearest cells. Symmetric
+    probing: pair (a, b) is found when EITHER endpoint's home cell is in
+    the other's probe list (LEAST/GREATEST canonicalization + distinct —
+    no duplicate pairs, no lost direction).
+
+    Scale shape mirrors :func:`ivf_ann_topk`: assignment is narrow (auto-
+    vectorized past ``_CATALYST_CELL_BUDGET``), the only shuffles are the
+    cell equi-join (keyed ≤ ``max_cell_size``) and the distinct."""
+    if nlist is None:
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        nlist = derive_nlist(n, target_cell_size)
+        logger.info("embedding_cosine_pairs_ivf: derived nlist=%d", nlist)
+    nprobe = min(nprobe, nlist)
+    if centroids is None:
+        if train:
+            pdf = (
+                embeddings.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(train_sample)
+                .toPandas()
+                .sort_values("vec_id", kind="mergesort")
+            )
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            centroids = train_centroids_int(mat, nlist, seed)
+        else:
+            centroids = _centroids_int(dim, nlist, seed)
+    nlist = len(centroids)
+    nprobe = min(nprobe, nlist)
+    if impl == "auto":
+        impl = "catalyst" if nlist * dim <= _CATALYST_CELL_BUDGET else "pandas"
+    if impl == "pandas":
+        cells_udf = _cell_rank_pandas(centroids)
+        cells_col = cells_udf(F.col("embedding"))
+    else:
+        cells_col = _cell_rank_array(F.col("embedding"), centroids)
+    ranked = embeddings.withColumn("_cells", cells_col)
+    base = ranked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.element_at("_cells", 1).alias("cell"),
+    )
+    base = _cap_buckets(
+        base, max_cell_size, "embedding_cosine_pairs_ivf", key="cell",
+        knobs="max_cell_size or nlist",
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.explode(F.slice("_cells", 1, nprobe)).alias("cell"),
+    )
+    cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 4)
+    return (
+        probes.join(base, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("pa"),
+            F.greatest("vec_a", "vec_b").alias("pb"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("pa").alias("vec_a"), F.col("pb").alias("vec_b"), "cosine"
+        )
+        .distinct()
+    )
+
+
+def ivf_pairs_oracle_sql(
+    table: str = "embeddings",
+    threshold: float = 0.35,
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 3,
+    seed: int = 11,
+    max_cell_size: int = 100_000,
+    centroids: np.ndarray | None = None,
+) -> str:
+    """DuckDB SQL computing the identical IVF cosine-pair set (the
+    :func:`embedding_cosine_pairs_ivf` oracle): centroids inlined as VALUES
+    (pass :func:`trained_centroids_from_parquet` output for a train=True
+    query), symmetric probe semantics via LEAST/GREATEST + DISTINCT."""
+    cents = _centroids_int(dim, nlist, seed) if centroids is None else centroids
+    nlist = len(cents)
+    nprobe = min(nprobe, nlist)
+    values = ", ".join(
+        f"({c}, {i + 1}, {int(cents[c][i])})" for c in range(nlist) for i in range(dim)
+    )
+    return f"""
+WITH cents(c, i, w) AS (VALUES {values}),
+dots AS (
+  SELECT e.vec_id, ct.c,
+         sum(CAST(floor(e.embedding[ct.i]::DOUBLE * ct.w::DOUBLE * {float(_QUANT)}) AS BIGINT)) AS dot
+  FROM {table} e, cents ct GROUP BY e.vec_id, ct.c
+),
+ranked_cells AS (
+  SELECT vec_id, c AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+  FROM dots
+),
+base0 AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+counts AS (SELECT cell, count(*) AS n FROM base0 GROUP BY cell),
+base AS (
+  SELECT b.vec_id, b.cell FROM base0 b
+  JOIN counts c ON b.cell = c.cell WHERE c.n <= {max_cell_size}
+),
+probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT least(p.vec_id, b.vec_id) AS vec_a,
+                  greatest(p.vec_id, b.vec_id) AS vec_b
+  FROM probes p JOIN base b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cosine
+  FROM cand
+  JOIN {table} x ON x.vec_id = cand.vec_a
+  JOIN {table} y ON y.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 """

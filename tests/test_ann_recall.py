@@ -72,3 +72,41 @@ def test_trained_centroids_deterministic(corpus):
     assert (c1 == c2).all()
     assert c1.dtype == np.int64
     assert np.abs(c1).max() <= 1000
+
+
+def test_ivf_pairs_beat_lsh_pairs_at_moderate_threshold(corpus, truth):
+    """Pair-mining recall at cosine >= 0.5 on clustered data: the trained-
+    IVF route must recover the large majority of true pairs where the
+    hyperplane-LSH route is documented to collapse."""
+    import numpy as np
+
+    vecs, df = corpus
+    mat = vecs.astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+    ii, jj = np.nonzero(np.triu(sims >= 0.5, k=1))
+    true_pairs = set(zip(ii.tolist(), jj.tolist()))
+    assert len(true_pairs) > 100
+
+    got = sim.embedding_cosine_pairs_ivf(
+        df, threshold=0.5, dim=16, nlist=12, nprobe=3, train=True
+    )
+    found = {
+        (int(r["vec_a"]), int(r["vec_b"]))
+        for r in got.select("vec_a", "vec_b").collect()
+    }
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert found <= true_pairs  # no false positives: cosine is exact
+    assert recall >= 0.8
+
+
+def test_lsh_two_bit_probe_uplift(corpus, truth):
+    """probe_bits=2 must not lose anything vs 1-bit probing and should add
+    recall on clustered data (neighbors across two hyperplanes)."""
+    _, df = corpus
+    one = ae.recall_at_k(sim.lsh_ann_topk(df, k=10, dim=16, n_planes=7), truth)
+    two = ae.recall_at_k(
+        sim.lsh_ann_topk(df, k=10, dim=16, n_planes=7, probe_bits=2), truth
+    )
+    assert two >= one
+    assert two >= 0.8  # measured 0.675 at 1-bit on this config
