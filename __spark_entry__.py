@@ -5,9 +5,11 @@ SURVEY.md §2 (surface patterns, quantifiers, assertions, captures, graph
 traversals, events/triples, cascade+state, metadata filters) plus the
 training-data ops (dedup, similarity, text analysis, multimodal plumbing)
 and generic relational/windowed plumbing. ``oracle_sql()`` gives the exact
-DuckDB equivalent for everything SQL-expressible; LSH-ANN and the full KG
-materialization are rows-only checks (non-SQL-expressible: seeded random
-hyperplanes / iterative connected components).
+DuckDB equivalent for EVERY query — including the LSH/IVF ANN routes
+(integer-quantized planes/centroids inlined as SQL literals; trained
+centroids reproduced bit-identically by the oracle generator) and the full
+KG canonicalization (recursive-CTE connected components) — so all entries
+are hash-checked, none rows-only.
 
 Extraction queries run over the synthetic ``documents`` table through the
 real pipeline (tokenize → prefilter → match → emit), using the whitespace
