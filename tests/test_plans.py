@@ -106,3 +106,37 @@ def test_fingerprints_plan_has_no_python_stage(spark):
     plan = fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "mapInPandas" not in plan
     assert "HashAggregate" in plan  # partial agg (map-side bit_xor combine)
+
+
+def test_lsh_bucket_plan_is_python_free(spark):
+    # the hyperplane bucket id is pure Catalyst at gate shapes — no Python
+    # worker in the bucketing/prefilter plan (higher-order fns are
+    # interpreted but still JVM-side)
+    from odinson_spark.ops.similarity import add_lsh_bucket
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        add_lsh_bucket(emb, dim=8, n_planes=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+def test_ivf_impl_routes_in_plan(spark):
+    # catalyst impl: no Python eval; pandas impl: ArrowEvalPython (the
+    # vectorized Arrow path, never row-at-a-time BatchEvalPython)
+    from odinson_spark.ops import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [0.1 * i] * 8) for i in range(1, 30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = sim._centroids_int(8, 4, seed=11)
+    cat = emb.withColumn("_cells", sim._cell_rank_array(F.col("embedding"), cents))
+    plan = cat._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    pan = emb.withColumn("_cells", sim._cell_rank_pandas(cents)(F.col("embedding")))
+    plan = pan._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
