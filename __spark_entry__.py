@@ -966,22 +966,37 @@ ORDER BY query_id, rank
         + "\nORDER BY query_id, rank"
     )
     # trained IVF: the oracle generator trains the SAME integer centroids
-    # from the same parquet the driver's oracle reads (sf0.01), pyarrow-side
-    # — bit-identical to the Spark query's train=True path on that sf
+    # from the same parquet the Spark queries read — bit-identical to the
+    # train=True path. The driver's gate runs at sf0.01 (the default);
+    # tools/check_correctness.py exports SPARK_GRAFT_ORACLE_SF_DIR so any
+    # other sf trains both sides from the same rows. If the parquet is
+    # unreadable, only these two entries drop to rows-only (never break the
+    # other oracles — oracle_sql() used to be pure computation).
     import os
+    import warnings
 
     _oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    _tc = sim.trained_centroids_from_parquet(
-        f"{_oracle_sf}/embeddings.parquet", nlist=8, seed=11, train_sample=256
-    )
-    o["ann_ivf_trained"] = (
-        sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, centroids=_tc)
-        + "\nORDER BY query_id, rank"
-    )
-    o["dedup_embed_cosine_ivf"] = (
-        sim.ivf_pairs_oracle_sql(threshold=0.35, nlist=8, nprobe=3, centroids=_tc)
-        + "\nORDER BY vec_a, vec_b"
-    )
+    try:
+        _tc = sim.trained_centroids_from_parquet(
+            f"{_oracle_sf}/embeddings.parquet", nlist=8, seed=11, train_sample=256
+        )
+    except Exception as e:
+        warnings.warn(
+            f"trained-centroid oracles skipped ({_oracle_sf}/embeddings.parquet "
+            f"unreadable: {e}); ann_ivf_trained/dedup_embed_cosine_ivf fall "
+            f"back to rows-only checks",
+            RuntimeWarning,
+        )
+        _tc = None
+    if _tc is not None:
+        o["ann_ivf_trained"] = (
+            sim.ivf_ann_oracle_sql(k=5, nlist=8, nprobe=3, centroids=_tc)
+            + "\nORDER BY query_id, rank"
+        )
+        o["dedup_embed_cosine_ivf"] = (
+            sim.ivf_pairs_oracle_sql(threshold=0.35, nlist=8, nprobe=3, centroids=_tc)
+            + "\nORDER BY vec_a, vec_b"
+        )
 
     # text analysis
     o["text_tokens"] = tx.TOKEN_STATS_ORACLE_SQL + "\nORDER BY doc_id"

@@ -55,26 +55,30 @@ def _cap_buckets(
     knobs: str = "max_bucket_size or n_planes",
 ):
     """Drop over-cap buckets — but never silently: the dropped bucket ids and
-    sizes are logged. The logging action only materializes the over-cap rows
-    (≤ one tiny row per hot bucket); the join side recomputes the groupBy
-    rather than persisting it — a deliberate trade: a leaked cached dataset
-    per call costs executor memory for the session lifetime, while the
-    recompute is one extra pass over the (vec_id, bucket) projection."""
+    sizes are logged. One action (collect of the tiny over-cap rows) decides
+    everything: zero drops → return ``base`` untouched (the common case pays
+    no join and no second scan); otherwise the already-collected ids drive a
+    driver-side NOT-IN filter — hot buckets are by definition FEW (each holds
+    > max_bucket_size rows), so the literal list stays small."""
     counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     dropped = counts.filter(F.col("_n") > max_bucket_size).collect()
-    if dropped:
-        total = sum(r["_n"] for r in dropped)
-        logger.warning(
-            "%s: dropping %d over-cap bucket(s) holding %d vectors "
-            "(cap=%d): %s%s — raise %s to keep them",
-            op_name,
-            len(dropped),
-            total,
-            max_bucket_size,
-            [(r[key], r["_n"]) for r in dropped[:10]],
-            "…" if len(dropped) > 10 else "",
-            knobs,
-        )
+    if not dropped:
+        return base
+    total = sum(r["_n"] for r in dropped)
+    logger.warning(
+        "%s: dropping %d over-cap bucket(s) holding %d vectors "
+        "(cap=%d): %s%s — raise %s to keep them",
+        op_name,
+        len(dropped),
+        total,
+        max_bucket_size,
+        [(r[key], r["_n"]) for r in dropped[:10]],
+        "…" if len(dropped) > 10 else "",
+        knobs,
+    )
+    if len(dropped) <= 10_000:
+        return base.filter(~F.col(key).isin([r[key] for r in dropped]))
+    # degenerate case (cap far too low for the corpus): keep the join form
     return base.join(counts, key).filter(F.col("_n") <= max_bucket_size).drop("_n")
 
 

@@ -46,7 +46,9 @@ import logging
 logger = logging.getLogger(__name__)
 
 
-def derive_banding(n_rows: int, threshold: float = 0.7) -> Tuple[int, int]:
+def derive_banding(
+    n_rows: int, threshold: float = 0.7, n_hashes: int | None = None
+) -> Tuple[int, int]:
     """(n_hashes, bands) derived from corpus size and the link threshold —
     the fixed (16, 4) default is only right for small corpora at t≈0.7.
 
@@ -58,16 +60,18 @@ def derive_banding(n_rows: int, threshold: float = 0.7) -> Tuple[int, int]:
     integral at the threshold: fp = ∫₀ᵗ P_cand(s) ds plus
     fn = ∫ₜ¹ (1 − P_cand(s)) ds with P_cand(s) = 1 − (1 − s^r)^b,
     evaluated by deterministic numeric quadrature over the divisor pairs
-    of n_hashes. At (10^6, 0.7) this lands on (16, 4) — identical to the
-    historical default — and shifts toward more selective bandings as n
-    grows."""
+    of n_hashes. Below 10^6 rows at t=0.7 this lands on (16, 4) — identical
+    to the historical default — and shifts toward more selective bandings
+    as n grows. Pass ``n_hashes`` to pin the permutation count and derive
+    only the band split for it."""
     n = max(int(n_rows), 1)
-    if n < 1_000_000:
-        n_hashes = 16
-    elif n < 1_000_000_000:
-        n_hashes = 32
-    else:
-        n_hashes = 64
+    if n_hashes is None:
+        if n < 1_000_000:
+            n_hashes = 16
+        elif n < 1_000_000_000:
+            n_hashes = 32
+        else:
+            n_hashes = 64
     s = np.linspace(0.0, 1.0, 1001)
     best, best_err = None, None
     for bands in range(1, n_hashes + 1):
@@ -196,9 +200,16 @@ def lsh_candidate_pairs(
     reproducibility against a fixed oracle."""
     if n_hashes is None or bands is None:
         n = n_rows if n_rows is not None else df.count()
-        d_hashes, d_bands = derive_banding(n, threshold)
-        n_hashes = n_hashes if n_hashes is not None else d_hashes
-        bands = bands if bands is not None else d_bands
+        if bands is None:
+            # derive bands FOR the caller's hash count when one was given —
+            # deriving both independently can pair a non-divisor (or a band
+            # split optimized for the wrong signature length)
+            n_hashes, bands = derive_banding(n, threshold, n_hashes=n_hashes)
+        else:
+            d_hashes, _ = derive_banding(n, threshold)
+            n_hashes = d_hashes if d_hashes % bands == 0 else bands * max(
+                1, round(d_hashes / bands)
+            )
         logger.info(
             "lsh_candidate_pairs: derived n_hashes=%d bands=%d (n_rows=%d, "
             "threshold=%.2f)", n_hashes, bands, n, threshold,

@@ -26,11 +26,12 @@ HELP = """commands:
   :settings         engine settings (page size, extra token fields)
   :display N        set the page size (current shown in :settings)
   :more             next page of the current query
-  :load PATH        compile a YAML rule file; queries run its rules
+  :load PATH        compile a YAML rule file (:run executes it)
+  :run              run the loaded rule file; print mentions per rule
   :reload           recompile the last loaded rule file
-  :clear            drop the loaded rules (back to ad-hoc patterns)
+  :clear            drop the loaded rules
   :mkdoc TEXT       produce the Document JSON for TEXT
-anything else is an ad-hoc pattern query"""
+anything else is an ad-hoc pattern query (independent of loaded rules)"""
 
 
 class OdinsonShell:
@@ -80,9 +81,10 @@ class OdinsonShell:
         self._p(f"loaded {len(self.extractors)} rule(s) from {path}: {names}")
 
     def _cmd_extract_rules(self):
-        """With rules loaded, a bare Enter / ':run' runs the whole grammar
-        and prints per-rule mention counts (the IndexDocuments/run_pipeline
-        batch shape, interactively)."""
+        """':run' runs the whole loaded grammar and prints per-rule mention
+        counts (the IndexDocuments/run_pipeline batch shape, interactively).
+        Rules with zero mentions are listed too — the most useful signal
+        when debugging a grammar."""
         from .pipeline.extract import apply_prefilter, extract_mentions_df
         from pyspark.sql import functions as F
 
@@ -91,12 +93,12 @@ class OdinsonShell:
             self.extractors,
             extra_token_fields=self.engine.extra_token_fields,
         )
-        for row in (
-            m.groupBy("found_by").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("found_by")
-            .collect()
-        ):
-            self._p(f"{row['found_by']}: {row['n']} mention(s)")
+        counts = {
+            row["found_by"]: row["n"]
+            for row in m.groupBy("found_by").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for name in sorted({e.name for e in self.extractors}):
+            self._p(f"{name}: {counts.get(name, 0)} mention(s)")
 
     def _cmd_mkdoc(self, text: str):
         from .document import Document, Sentence, TokensField
@@ -164,12 +166,17 @@ class OdinsonShell:
             if self.extractors is None:
                 self._p("no rule file loaded")
             else:
-                self._cmd_extract_rules()
+                try:
+                    self._cmd_extract_rules()
+                except Exception as e:  # runtime extraction error: stay alive
+                    self._p(f"error: {e}")
         elif line.startswith(":mkdoc"):
             try:
                 self._cmd_mkdoc(line.split(None, 1)[1])
             except IndexError:
                 self._p("usage: :mkdoc TEXT")
+            except Exception as e:
+                self._p(f"error: {e}")
         elif line.startswith(":"):
             self._p(f"unknown command {line.split()[0]}", "type :help for commands")
         else:

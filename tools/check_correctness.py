@@ -41,6 +41,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the trained-centroid oracles train from the same parquet the Spark
+    # queries read — point the generator at THIS sf_dir (the driver's own
+    # gate runs at the default sf0.01)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from odinson_spark.session import get_spark
 

@@ -13,8 +13,9 @@ matching the north rule's throughput criterion). A file barrier synchronizes
 the timed section so all K contend realistically. Efficiency =
 throughput(4K) / (4 × throughput(K)).
 
-Usage: python tools/executor_scaling_bench.py [sf_dir] [K] [replicate]
-  (runs K and 4K; defaults sf0.1, K=2, replicate=8)
+Usage: python tools/executor_scaling_bench.py [sf_dir] [points] [replicate]
+  points = comma-separated executor counts (default "2,8,32"); efficiency
+  is reported for each consecutive pair. Example: "8,32" for the 4× pair.
 
 CPU pinning (PIN_CORES=1, default): each executor process — its JVM, its
 GC/scan threads AND its Python workers — is confined to ONE distinct core

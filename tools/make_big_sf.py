@@ -37,12 +37,16 @@ def main():
     spark = get_spark(app_name="make-big-sf", master="local[8]", shuffle_partitions=8)
     os.makedirs(out, exist_ok=True)
 
+    copies = spark.range(n).withColumnRenamed("id", "_copy")
+
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
-    copies = spark.range(n).withColumnRenamed("id", "_copy")
+    # stride by max_id + 1, not row count: sparse or non-0-based ids would
+    # otherwise collide across copies
+    doc_stride = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     (
         docs.crossJoin(copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * n_docs)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * doc_stride)
         .drop("_copy")
         .repartition(32)
         .write.mode("overwrite")
@@ -51,9 +55,10 @@ def main():
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     n_emb = emb.count()
+    vec_stride = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     (
         emb.crossJoin(copies)
-        .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * n_emb)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * vec_stride)
         .drop("_copy")
         .repartition(32)
         .write.mode("overwrite")
