@@ -77,3 +77,15 @@ def test_derive_banding_values():
     # higher threshold → fewer bands (more rows per band, more selective)
     n16 = {t: derive_banding(10**3, t)[1] for t in (0.5, 0.7, 0.9)}
     assert n16[0.9] <= n16[0.7] <= n16[0.5]
+
+
+def test_derive_banding_always_divisible():
+    # the review-found crash class: every (corpus size, threshold, pinned
+    # n_hashes) combination must produce a valid divisor pair
+    for n in (1, 10**3, 10**6, 10**9, 10**12):
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+            h, b = derive_banding(n, t)
+            assert h % b == 0 and b >= 1
+            for pinned in (10, 12, 16, 24, 32, 100):
+                h2, b2 = derive_banding(n, t, n_hashes=pinned)
+                assert h2 == pinned and pinned % b2 == 0
