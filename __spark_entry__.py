@@ -590,7 +590,18 @@ rules:
     return q
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL for every ``queries()`` entry.
+
+    ``sf_dir`` — the scale-factor directory the gate runs the Spark queries
+    against; the two trained-centroid oracles (``ann_ivf_trained``,
+    ``dedup_embed_cosine_ivf``) train their centroids from
+    ``{sf_dir}/embeddings.parquet`` so both sides see the same rows. A
+    driver calling the contract-form ``oracle_sql()`` (no args) gets the
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` env var if set, else the driver's own
+    gate default ``/root/testdata/sf0.01``. Callers that know their sf dir
+    (tools/check_correctness.py) should pass it explicitly.
+    """
     o: dict[str, str] = {}
 
     def spans(where_or_body: str, body: bool = False) -> str:
@@ -967,15 +978,17 @@ ORDER BY query_id, rank
     )
     # trained IVF: the oracle generator trains the SAME integer centroids
     # from the same parquet the Spark queries read — bit-identical to the
-    # train=True path. The driver's gate runs at sf0.01 (the default);
-    # tools/check_correctness.py exports SPARK_GRAFT_ORACLE_SF_DIR so any
-    # other sf trains both sides from the same rows. If the parquet is
-    # unreadable, only these two entries drop to rows-only (never break the
-    # other oracles — oracle_sql() used to be pure computation).
+    # train=True path. The sf dir comes from the sf_dir argument
+    # (tools/check_correctness.py passes it), else SPARK_GRAFT_ORACLE_SF_DIR,
+    # else the driver-gate default sf0.01. If the parquet is unreadable,
+    # only these two entries drop to rows-only (never break the other
+    # oracles — oracle_sql() used to be pure computation).
     import os
     import warnings
 
-    _oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _oracle_sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     try:
         _tc = sim.trained_centroids_from_parquet(
             f"{_oracle_sf}/embeddings.parquet", nlist=8, seed=11, train_sample=256

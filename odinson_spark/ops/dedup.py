@@ -498,19 +498,18 @@ def embedding_cosine_pairs(
     * ``"lsh"`` — always route (explicit opt-in to approximate results).
     * ``"raise"`` — exact-or-nothing."""
     spark = embeddings.sparkSession
-    # single-pass guard: collect AT MOST max_broadcast_rows+1 rows — the
-    # limit both detects overflow (len == max+1) and IS the exact path's
-    # materialization, so no separate count() action/scan is paid
-    pdf_all = (
-        embeddings.select("vec_id", "embedding")
-        .limit(max_broadcast_rows + 1)
-        .toPandas()
-    )
-    if len(pdf_all) > max_broadcast_rows:
+    # overflow probe: limit(max+1).count() ships only a long to the driver
+    # (no Arrow transfer), so the over-limit branches — the ones whose whole
+    # point is avoiding driver materialization — never pay a GB-scale
+    # toPandas() for data they would immediately discard; only the exact
+    # path (provably ≤ max rows) materializes
+    probe = embeddings.limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
         route = on_overflow == "lsh" or (on_overflow == "auto" and threshold >= 0.7)
         if route:
-            dim = len(pdf_all["embedding"].iloc[0])
-            del pdf_all
+            dim = len(
+                embeddings.select("embedding").head(1)[0]["embedding"]
+            )
             return embedding_cosine_pairs_lsh(embeddings, threshold, dim=dim)
         if on_overflow == "auto":
             raise ValueError(
@@ -524,6 +523,7 @@ def embedding_cosine_pairs(
             f"more than {max_broadcast_rows} vectors exceeds brute-force "
             f"broadcast limit; use LSH blocking"
         )
+    pdf_all = embeddings.select("vec_id", "embedding").toPandas()
     ids_all = pdf_all["vec_id"].to_numpy()
     mat_all = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all["embedding"]])
     norms_all = np.sqrt(np.einsum("ij,ij->i", mat_all, mat_all))

@@ -337,14 +337,68 @@ def trained_centroids_from_parquet(
 ) -> np.ndarray:
     """Train centroids from an embeddings parquet file WITHOUT Spark (pyarrow
     driver-side read) — the oracle-SQL generator uses this to inline the same
-    centroids the Spark query trains. The sample is the first ``train_sample``
-    rows ordered by vec_id: a deterministic rule both engines reproduce."""
+    centroids the Spark query trains.
+
+    Sampling rule (mirrored bit-for-bit by :func:`_training_sample` on the
+    Spark side): rows with ``vec_id < train_sample`` sorted by vec_id — a
+    predicate both engines push into the parquet scan. If that id-range
+    filter returns fewer than ``train_sample`` rows (sparse ids or a corpus
+    smaller than the sample), fall back to the global first-N-by-id (a full
+    read, acceptable in exactly that degenerate case)."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    df = tbl.to_pandas().sort_values("vec_id", kind="mergesort").head(train_sample)
+    tbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", train_sample)],
+    )
+    df = tbl.to_pandas().sort_values("vec_id", kind="mergesort")
+    if len(df) < train_sample:
+        full = pq.read_table(path, columns=["vec_id", "embedding"])
+        df = (
+            full.to_pandas()
+            .sort_values("vec_id", kind="mergesort")
+            .head(train_sample)
+        )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     return train_centroids_int(mat, nlist, seed, iters)
+
+
+def _training_sample(embeddings: DataFrame, train_sample: int) -> np.ndarray:
+    """Driver-side training matrix: first ``train_sample`` rows by vec_id,
+    fetched through a pushed-down id-range predicate.
+
+    ``orderBy("vec_id").limit(n)`` plans as TakeOrderedAndProject — no sort
+    shuffle, but it still scans EVERY row to find the global first-N; at
+    10^12 rows that scan is the whole job. With dense 0-based ids (this
+    engine's convention for vec_id) the predicate ``vec_id < train_sample``
+    reaches the parquet scan as a PushedFilter and reads only the matching
+    row groups. Sparse-id / tiny-corpus inputs fall back to the global
+    first-N (the old scan), keeping the sample — and therefore the trained
+    centroids and the hash-checked oracle parity
+    (:func:`trained_centroids_from_parquet` applies the identical two-step
+    rule) — unchanged in every case."""
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < F.lit(train_sample))
+        .toPandas()
+        .sort_values("vec_id", kind="mergesort")
+    )
+    if len(pdf) < train_sample:
+        logger.info(
+            "_training_sample: id-range filter returned %d < %d rows "
+            "(sparse ids or small corpus); falling back to global first-N scan",
+            len(pdf),
+            train_sample,
+        )
+        pdf = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(train_sample)
+            .toPandas()
+            .sort_values("vec_id", kind="mergesort")
+        )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
 
 
 def _cell_rank_array(emb_col, centroids: np.ndarray):
@@ -454,14 +508,7 @@ def ivf_ann_topk(
     nprobe = min(nprobe, nlist)
     if centroids is None:
         if train:
-            pdf = (
-                embeddings.select("vec_id", "embedding")
-                .orderBy("vec_id")
-                .limit(train_sample)
-                .toPandas()
-                .sort_values("vec_id", kind="mergesort")
-            )
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            mat = _training_sample(embeddings, train_sample)
             centroids = train_centroids_int(mat, nlist, seed)
         else:
             centroids = _centroids_int(dim, nlist, seed)
@@ -706,14 +753,7 @@ def embedding_cosine_pairs_ivf(
     nprobe = min(nprobe, nlist)
     if centroids is None:
         if train:
-            pdf = (
-                embeddings.select("vec_id", "embedding")
-                .orderBy("vec_id")
-                .limit(train_sample)
-                .toPandas()
-                .sort_values("vec_id", kind="mergesort")
-            )
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            mat = _training_sample(embeddings, train_sample)
             centroids = train_centroids_int(mat, nlist, seed)
         else:
             centroids = _centroids_int(dim, nlist, seed)

@@ -2,13 +2,17 @@
 sf0.1 tables with remapped ids (round-3 verdict item 8: a headline less
 noise-dominated than ~8 s total).
 
-documents/embeddings are replicated ×N with ids offset per copy (so dedup /
-ANN / extraction see distinct rows, not N exact copies of one key space —
-except text content, which repeats by construction: that only makes the
-dedup ops work HARDER, every content group is N× bigger). The relational
-tables are copied as-is (the TPC-H plumbing is the codegen baseline; its
-absolute time is small and join semantics would break under naive key
-replication).
+documents/embeddings are replicated ×N with ids offset per copy. Copy 0 is
+verbatim; copies 1..N-1 get a seeded ~10% token-level mutation drawn from
+the corpus vocabulary (round-4 verdict item 3: verbatim replication made
+every content group N× bigger, so pair-emitting dedup ops measured the
+corpus's quadratic duplicate structure — ngram_jaccard 116.7 s at ×10 —
+not the operator; mutated copies are realistic NEAR-duplicates whose pair
+count grows linearly in N). The mutation is deterministic in
+(doc_id, copy): re-running the tool reproduces the corpus bit-for-bit.
+The relational tables are copied as-is (the TPC-H plumbing is the codegen
+baseline; its absolute time is small and join semantics would break under
+naive key replication).
 
 Usage: python tools/make_big_sf.py [out_dir] [replicate]
 Defaults: /root/repo/.benchdata/sfbig, ×10 (≈ sf1).
@@ -20,6 +24,42 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import zlib
+
+MUTATION_RATE = 0.10
+VOCAB_SIZE = 4096
+
+
+def _mutate_fn(vocab: list[str], rate: float):
+    """mapInPandas generator: seeded per-(doc,copy) token swaps. Tool-side
+    only (corpus generation), so the per-token Python loop is acceptable;
+    batches still move via Arrow."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            texts = []
+            for orig_id, copy, text in zip(
+                pdf["_orig_id"], pdf["_copy"], pdf["text"]
+            ):
+                if copy == 0:
+                    texts.append(text)
+                    continue
+                toks = text.split(" ")
+                seed = zlib.crc32(f"{int(orig_id)}:{int(copy)}".encode()) & 0x7FFFFFFF
+                rng = np.random.RandomState(seed)
+                hit = np.nonzero(rng.random_sample(len(toks)) < rate)[0]
+                repl = rng.randint(0, len(vocab), size=len(hit))
+                for i, r in zip(hit, repl):
+                    toks[i] = vocab[r]
+                texts.append(" ".join(toks))
+            pdf = pdf.copy()
+            pdf["text"] = texts
+            pdf["n_chars"] = [len(t) for t in texts]
+            # explicit column order = output schema order (positional match)
+            yield pdf[[c for c in pdf.columns if c != "_orig_id"]]
+
+    return fn
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -41,12 +81,33 @@ def main():
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
+    # corpus vocabulary for the mutation draw: top-VOCAB_SIZE tokens by
+    # frequency, ties broken lexicographically — deterministic
+    vocab = [
+        r["tok"]
+        for r in (
+            docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .count()
+            .orderBy(F.desc("count"), F.asc("tok"))
+            .limit(VOCAB_SIZE)
+            .collect()
+        )
+    ]
     # stride by max_id + 1, not row count: sparse or non-0-based ids would
     # otherwise collide across copies
     doc_stride = int(docs.agg(F.max("doc_id")).first()[0]) + 1
-    (
+    big_docs = (
         docs.crossJoin(copies)
+        .withColumn("_orig_id", F.col("doc_id"))
         .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * doc_stride)
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in docs.schema.fields
+    ) + ", _copy bigint"
+    (
+        big_docs.mapInPandas(_mutate_fn(vocab, MUTATION_RATE), schema=out_schema)
         .drop("_copy")
         .repartition(32)
         .write.mode("overwrite")

@@ -196,7 +196,23 @@ per-executor, not per-core.
         if marker in old:
             extra = marker + old.split(marker, 1)[1]
         else:
-            extra = marker
+            # marker absent (e.g. BENCH.md was hand-edited from scratch):
+            # preserve everything from the first '## ' heading this script
+            # does not own, rather than silently deleting the manual content
+            import re as _re
+
+            owned = {
+                ln.strip() for ln in md.splitlines() if ln.startswith("## ")
+            }
+            keep_from = None
+            for m in _re.finditer(r"(?m)^## .*$", old):
+                if m.group(0).strip() not in owned:
+                    keep_from = m.start()
+                    break
+            if keep_from is not None:
+                extra = marker + "\n" + old[keep_from:]
+            else:
+                extra = marker
     with open(path, "w") as f:
         f.write(md + extra)
 
