@@ -48,7 +48,7 @@ import bench
 idx = int(sys.argv[1]); barrier_dir = sys.argv[2]
 sf_dir = sys.argv[3]; replicate = int(sys.argv[4]); n_procs = int(sys.argv[5])
 extra = {{}}
-if os.environ.get("PRETOUCH") == "1":
+if os.environ.get("PRETOUCH", "1") == "1":  # default ON (SCALE.md: pre-touched fixed heaps)
     # fixed, pre-faulted JVM heap: every heap page is touched at JVM start,
     # so the timed section pays ZERO heap-growth page faults — isolates the
     # host's (serialized, slow) first-touch fault path from pipeline cost

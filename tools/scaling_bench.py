@@ -38,8 +38,17 @@ import bench
 cores = int(sys.argv[1])
 sf_dir = sys.argv[2]
 replicate = int(sys.argv[3])
+extra = {{}}
+if os.environ.get("PRETOUCH", "1") == "1":
+    # fixed pre-touched heap: heap-growth page faults (the one per-process
+    # cost that hits this VM's serialized fault path) are paid at JVM start,
+    # not inside the timed section — default ON per SCALE.md
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    extra = {{"spark.driver.memory": mem,
+              "spark.driver.extraJavaOptions":
+                  f"-XX:+AlwaysPreTouch -XX:InitialHeapSize={{mem}}"}}
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores, 8))
+                  shuffle_partitions=max(cores, 8), extra_conf=extra)
 # warm up the JVM/Python workers with a full-size run, then take the best of
 # 3 timed runs = steady-state throughput (BASELINE.md: steady-state files/sec)
 bench.run_kg_pipeline(spark, sf_dir, replicate)
