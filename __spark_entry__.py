@@ -251,6 +251,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "[entity=CALL] >arg (?^ [] >next [])"
     )
 
+    # optional `?` (greedy) / `??` (lazy) — reference
+    # lucene/search/OdinsonOptionalQuery.scala:57-78: greedy prefers the
+    # present branch ('fast table' where the next token is 'table', else
+    # 'fast'); lazy always prefers absence (bare 'fast')
+    q["pat_opt"] = lambda s, d: _mention_spans(s, d, "fast table?")
+    q["pat_opt_lazy"] = lambda s, d: _mention_spans(s, d, "fast table??")
+    # traversal union (reference GraphTraversal.scala:155-170 Union): from
+    # the CALL at pos 2, >arg lands on 4 and 6, >next on 3 — three fixed
+    # dst tokens per constructed code doc
+    q["graph_union"] = lambda s, d: _code_pattern(
+        s, d, "[entity=CALL] (>arg | >next) []"
+    )
+    # optional traversal (GraphTraversal.scala Optional): no-hop keeps the
+    # source token itself (pos 2) alongside the >arg landings (4, 6)
+    q["graph_opt"] = lambda s, d: _code_pattern(s, d, "[entity=CALL] >arg? []")
+
+    # filter/contains: mention-filtered terminal (reference
+    # lucene/search/spans/OdinsonSpanContainingQuery.scala:88-104 via
+    # Ast.scala addMentionFilterToTerminals) — priority-1 labels only the
+    # token after '(' (pos 4); the priority-2 event's `object: FirstArg =
+    # >arg []` terminal keeps only landing spans containing a FirstArg
+    # mention, so of the two >arg landings (4, 6) only pos 4 survives
+    FILTER_GRAMMAR = """
+rules:
+  - name: first-arg
+    label: FirstArg
+    type: basic
+    priority: 1
+    pattern: |
+      (?<= [norm="("]) []
+  - name: call-obj
+    type: event
+    priority: 2
+    pattern: |
+      trigger = [entity=CALL]
+      object: FirstArg = >arg []
+"""
+
+    def event_arg_filter(s, d):
+        extractors, _ = RuleReader().compile_rules(FILTER_GRAMMAR)
+        m = extract_one_shot(
+            _code_docs(s, d), extractors, mode="code", use_state=True
+        )
+        cap = F.explode("captures")
+        return (
+            m.filter(F.col("found_by") == "call-obj")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), cap.alias("c"))
+            .select(
+                "doc_id",
+                F.col("c.start").alias("mstart"),
+                F.col("c.end").alias("mend"),
+                F.col("c.text").alias("mtext"),
+            )
+            .orderBy("doc_id", "mstart", "mend")
+        )
+
+    q["event_arg_filter"] = event_arg_filter
+
     # --- events / triples ---------------------------------------------------
     def event_triple(s, d):
         extractors, _ = RuleReader().compile_rules(EVENT_GRAMMAR)
@@ -587,6 +645,48 @@ rules:
 
     q["events_window"] = events_window
 
+    def stream_extract_eq(s, d):
+        """Structured-Streaming parity: the SAME tokenize→prefilter→match
+        stages run over a file-source stream (availableNow) and must emit
+        exactly the batch-path mentions — the oracle is pat_term's SQL.
+        The parquet is exposed through a symlink dir because the file
+        source requires a directory, and the memory-sink name is unique per
+        call so the gate is re-runnable in one session."""
+        import os
+        import tempfile
+        import uuid
+
+        from odinson_spark.streaming.stream import stream_extract
+
+        tmp = tempfile.mkdtemp(prefix="se_eq_")
+        os.symlink(f"{d}/documents.parquet", f"{tmp}/documents.parquet")
+        schema = s.read.parquet(f"{d}/documents.parquet").schema
+        extractors, _ = RuleReader().compile_rules(
+            "rules:\n  - name: q\n    type: basic\n    pattern: |\n      fast\n"
+        )
+        m = stream_extract(s, tmp, extractors, schema)
+        name = f"se_eq_{uuid.uuid4().hex[:12]}"
+        sq = (
+            m.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return (
+            s.table(name)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("start").alias("mstart"),
+                F.col("end").alias("mend"),
+                F.col("text").alias("mtext"),
+            )
+            .orderBy("doc_id", "mstart", "mend")
+        )
+
+    q["stream_extract_eq"] = stream_extract_eq
+
     return q
 
 
@@ -753,6 +853,55 @@ SELECT * FROM (
   UNION ALL
   SELECT doc_id, 5::INT AS mstart, 7::INT AS mend, ', ' || t3 AS mtext FROM c
 ) q ORDER BY doc_id, mstart, mend
+"""
+    )
+    # optional `?`: greedy takes 'fast table' when the successor is 'table',
+    # else the bare 'fast'
+    o["pat_opt"] = spans(
+        """
+SELECT a.doc_id, a.pos AS mstart,
+       CASE WHEN b.tok = 'table' THEN a.pos + 2 ELSE a.pos + 1 END::INT AS mend,
+       CASE WHEN b.tok = 'table' THEN a.tok || ' ' || b.tok ELSE a.tok END AS mtext
+FROM toks a LEFT JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'fast'
+""",
+        body=True,
+    )
+    # lazy `??`: absence always preferred — bare 'fast' spans
+    o["pat_opt_lazy"] = spans("tok = 'fast'")
+    # traversal union from CALL@2: >next → '(' at 3, >arg → t2@4 and t3@6
+    o["graph_union"] = (
+        _CODE_TOKS
+        + """
+SELECT * FROM (
+  SELECT doc_id, 3::INT AS mstart, 4::INT AS mend, '(' AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 4::INT AS mstart, 5::INT AS mend, t2 AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 6::INT AS mstart, 7::INT AS mend, t3 AS mtext FROM c
+) q ORDER BY doc_id, mstart, mend
+"""
+    )
+    # optional traversal from CALL@2: no-hop keeps t1@2, >arg lands on 4, 6
+    o["graph_opt"] = (
+        _CODE_TOKS
+        + """
+SELECT * FROM (
+  SELECT doc_id, 2::INT AS mstart, 3::INT AS mend, t1 AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 4::INT AS mstart, 5::INT AS mend, t2 AS mtext FROM c
+  UNION ALL
+  SELECT doc_id, 6::INT AS mstart, 7::INT AS mend, t3 AS mtext FROM c
+) q ORDER BY doc_id, mstart, mend
+"""
+    )
+    # contains-filter: of the >arg landings (4, 6) only pos 4 is covered by
+    # a FirstArg mention (the token after '(')
+    o["event_arg_filter"] = (
+        _CODE_TOKS
+        + """
+SELECT doc_id, 4::INT AS mstart, 5::INT AS mend, t2 AS mtext FROM c
+ORDER BY doc_id, mstart, mend
 """
     )
 
@@ -1056,4 +1205,7 @@ FROM events
 GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
 ORDER BY user_id, w_start
 """
+    # streaming path ≡ batch path: same stages, so the oracle is exactly
+    # pat_term's SQL
+    o["stream_extract_eq"] = o["pat_term"]
     return o

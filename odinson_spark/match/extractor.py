@@ -89,7 +89,12 @@ def _promote(m: Mention, using_state: bool) -> List[Mention]:
             for arg in m.arguments.get(name, []):
                 if not isinstance(arg.match, StateMatch):
                     if using_state:
-                        arg.match = StateMatch(arg.start, arg.end)
+                        # reference StateMatch.fromOdinsonMatch retains
+                        # namedCaptures through the conversion
+                        # (OdinsonMatch.scala) — keep the arg's own captures
+                        arg.match = StateMatch(
+                            arg.start, arg.end, tuple(arg.match.named_captures())
+                        )
                     results.append(arg)
     if using_state and not isinstance(m.match, StateMatch):
         m = Mention(
@@ -99,7 +104,10 @@ def _promote(m: Mention, using_state: bool) -> List[Mention]:
             m.found_by,
             m.start,
             m.end,
-            StateMatch(m.start, m.end),
+            # retain namedCaptures across the state conversion so event args
+            # / named captures survive serialization (reference
+            # OdinsonMatch.scala StateMatch keeps namedCaptures)
+            StateMatch(m.start, m.end, tuple(em.named_captures())),
             m.arguments,
         )
     results.append(m)

@@ -161,3 +161,29 @@ rules:
     assert len(args) == 3
     assert all(not isinstance(a.match, StateMatch) for a in args)
     assert all(a.label == "First" for a in args)
+
+
+def test_state_conversion_retains_named_captures(example_docs):
+    """Reference OdinsonMatch.scala: StateMatch conversion keeps
+    namedCaptures — an event mention stored in / returned from the state
+    must still expose its argument captures (and a promoted arg keeps its
+    own nested captures)."""
+    grammar = """
+rules:
+  - name: second
+    label: Second
+    type: event
+    priority: 2
+    pattern: |
+      trigger = ate
+      theme = >dobj []
+"""
+    mentions = run(example_docs, grammar, use_state=True)
+    second = with_label(mentions, "Second")
+    assert len(second) == 1
+    m = second[0]
+    assert isinstance(m.match, StateMatch)
+    caps = m.match.named_captures()
+    assert [(c.name, c.match.start, c.match.end) for c in caps] == [
+        ("theme", m.arguments["theme"][0].start, m.arguments["theme"][0].end)
+    ]
