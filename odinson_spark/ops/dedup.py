@@ -43,12 +43,10 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    threshold: float = 0.2,
-    max_postings: int = 10000,
-) -> DataFrame:
+def _word_ngrams_catalyst(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) rows via Catalyst transform/slice/explode. Higher-order
+    functions are interpreted (never codegen — SCALE.md), so per-gram cost is
+    an interpreted slice+concat; fine when scan-dominated."""
     from ..pipeline.extract import _fan_out
 
     toks = _fan_out(documents).select(
@@ -63,7 +61,54 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", F.explode(gram_array).alias("gram"))
+    return toks.select("doc_id", F.explode(gram_array).alias("gram"))
+
+
+def _word_ngrams_pandas(documents: DataFrame, n: int) -> DataFrame:
+    """Same distinct (doc_id, gram) rows via an Arrow-batched mapInPandas
+    (the simhash/fingerprint fan-out pattern). A/B'd against the Catalyst
+    route at sf0.1 and x10 — see BENCH.md 'gram-builder A/B'."""
+    from ..pipeline.extract import _fan_out
+
+    schema = StructType(
+        [
+            StructField("doc_id", documents.schema["doc_id"].dataType),
+            StructField("gram", StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(doc)
+                        grams.append(g)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    return _fan_out(documents.select("doc_id", "text")).mapInPandas(fn, schema)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_postings: int = 10000,
+    gram_impl: str = "pandas",
+) -> DataFrame:
+    grams = (
+        _word_ngrams_pandas(documents, n)
+        if gram_impl == "pandas"
+        else _word_ngrams_catalyst(documents, n)
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # posting-length guard via a window (one exchange on gram, reused by the
     # self-join below); the join generates pairs streaming through the
