@@ -215,8 +215,8 @@ def main():
             "retries": 0,
             "flagged": False,
         }
+        refv = reference.get(name)
         for _ in range(MAX_RETRIES):
-            refv = reference.get(name)
             slow = refv is not None and timings[name] > RETRY_FACTOR * refv
             throttled = (
                 h["burn"] > HEALTH_BURN_THRESH or h["membw"] < HEALTH_MEMBW_THRESH
@@ -232,6 +232,11 @@ def main():
                 timings[name] = dt
                 h["burn"] = b
                 h["membw"] = bw
+        # final standing vs the healthy-window reference — "flagged" records
+        # that retries FIRED; ref_ratio records where the kept best LANDED
+        # (≤ RETRY_FACTOR means the retry recovered a healthy number)
+        if refv is not None:
+            h["ref_ratio"] = round(timings[name] / refv, 3)
         health[name] = h
 
     timings = {k: round(v, 3) for k, v in timings.items()}
