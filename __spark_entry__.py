@@ -687,6 +687,37 @@ rules:
 
     q["stream_extract_eq"] = stream_extract_eq
 
+    def _idx_spans(s, d, pattern: str):
+        """Materialized-index query path (odinson_spark/index.py — the
+        Spark analogue of the reference's prebuilt Lucene index,
+        lucene/index/OdinsonIndexWriter.scala:113-205): tokenize → write
+        bucketed sentences+postings → read back → posting-pruned search.
+        Must emit exactly the scan-path mentions, so the oracle is the
+        same SQL as the corresponding pat_* gate."""
+        import tempfile
+
+        from odinson_spark.index import TermIndex
+        from odinson_spark.pipeline.extract import tokenize_documents
+
+        tmp = tempfile.mkdtemp(prefix="odx_")
+        idx = TermIndex.build(
+            tokenize_documents(_t(s, d, "documents")), tmp, n_term_buckets=16, n_doc_buckets=8
+        )
+        return (
+            idx.engine()
+            .mentions(pattern)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("start").alias("mstart"),
+                F.col("end").alias("mend"),
+                F.col("text").alias("mtext"),
+            )
+            .orderBy("doc_id", "mstart", "mend")
+        )
+
+    q["idx_term"] = lambda s, d: _idx_spans(s, d, "fast")
+    q["idx_conj"] = lambda s, d: _idx_spans(s, d, "fast table")
+
     return q
 
 
@@ -713,6 +744,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         )
 
     o["pat_term"] = spans("tok = 'fast'")
+    # index path ≡ scan path: same mention stream, same oracles
+    o["idx_term"] = spans("tok = 'fast'")
     o["pat_concat"] = spans(
         """
 SELECT a.doc_id, a.pos AS mstart, (a.pos + 2)::INT AS mend,
@@ -722,6 +755,7 @@ WHERE a.tok = 'fast' AND b.tok = 'table'
 """,
         body=True,
     )
+    o["idx_conj"] = o["pat_concat"]
     o["pat_or"] = spans("tok = 'hash' OR tok = 'merge'")
     o["pat_neg"] = spans(
         """

@@ -1,0 +1,257 @@
+"""Materialized term-posting index: the Spark-native analogue of the
+reference's on-disk Lucene index.
+
+The scan-path engine (search.py) evaluates the sentence-level prefilter
+JVM-side, but an ``array_contains`` predicate cannot reach parquet footer
+stats, so every row group of the token-layer columns is still read. That is
+the right shape for one-shot batch extraction; it is the wrong shape for the
+reference's primary UX — *interactive* queries against a prebuilt index
+(ExtractorEngine over lucene/index/OdinsonIndexWriter.scala:113-205, where
+postings let a query visit only documents containing its required terms).
+
+This module materializes that access path with Spark primitives:
+
+* **sentences/** — the annotated-sentence table written
+  ``partitionBy(doc_bucket)`` (deterministic ``crc32(doc_id) % N``), so a
+  candidate-key join prunes whole directories via dynamic partition pruning
+  instead of scanning the corpus.
+* **postings/** — one row per distinct (sentence, token-layer field, term),
+  written ``partitionBy(tbucket)`` (``crc32(term) % M``) and sorted by
+  (field, term) within files: a term lookup touches exactly one partition
+  directory, and parquet min/max stats on the sorted ``term`` column skip
+  all but the matching row groups — the Spark rendering of a postings seek.
+
+Query execution composes the existing prefilter algebra
+(plans/prefilter.py): each required literal term becomes a pruned postings
+lookup; AND = key intersection, OR = key union (None = unconstrained — the
+lookup degrades to the scan path, never drops a sentence). The candidate
+keys are leftsemi-joined (including ``doc_bucket``) against the partitioned
+sentence table, then the normal boolean prefilter + NFA matcher run
+unchanged, so index-path results are identical to scan-path results
+(asserted by tests/test_index.py and the idx_term/idx_conj gates).
+
+At 100 TB: the postings table is ~tokens-distinct-per-sentence rows, one
+shuffle to bucket it at build time; a selective interactive query then reads
+a handful of postings row groups + only the sentence partitions containing
+candidates, instead of the full corpus. Unconstrained patterns (pure
+wildcards/regex) fall back to the full scan explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans import prefilter as pf
+from .pipeline.extract import apply_prefilter
+from .search import SearchEngine
+
+# token-layer columns worth inverting: everything the prefilter can render
+# (plans/prefilter.py _FIELD_TO_COLUMN maps incoming/outgoing to the flat
+# label-set columns)
+DEFAULT_INDEXED_COLUMNS = (
+    "raw",
+    "word",
+    "norm",
+    "norm_alt",
+    "lemma",
+    "tag",
+    "chunk",
+    "entity",
+    "incoming_flat",
+    "outgoing_flat",
+)
+
+_META_FILE = "odinson_index_meta.json"
+
+
+def _bucket(col, n: int):
+    return F.pmod(F.crc32(col.cast("string")), F.lit(n)).cast("int")
+
+
+def doc_bucket_of(doc_id: str, n: int) -> int:
+    """Driver-side twin of ``_bucket`` for cursor/diagnostic use."""
+    return zlib.crc32(str(doc_id).encode()) % n
+
+
+class TermIndex:
+    """A written (sentences, postings) pair plus its meta."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.n_term_buckets = int(meta["n_term_buckets"])
+        self.n_doc_buckets = int(meta["n_doc_buckets"])
+        self.indexed_columns = tuple(meta["indexed_columns"])
+        self.sentences = spark.read.parquet(os.path.join(path, "sentences"))
+        self.postings = spark.read.parquet(os.path.join(path, "postings"))
+
+    # -- build --------------------------------------------------------------
+
+    @staticmethod
+    def build(
+        sentences: DataFrame,
+        path: str,
+        n_term_buckets: int = 64,
+        n_doc_buckets: int = 32,
+        indexed_columns: Sequence[str] = DEFAULT_INDEXED_COLUMNS,
+    ) -> "TermIndex":
+        cols = [c for c in indexed_columns if c in sentences.columns]
+        with_bucket = sentences.withColumn(
+            "doc_bucket", _bucket(F.col("doc_id"), n_doc_buckets)
+        )
+        (
+            with_bucket.write.mode("overwrite")
+            .partitionBy("doc_bucket")
+            .parquet(os.path.join(path, "sentences"))
+        )
+
+        # one scan builds every field's postings: per-field distinct terms →
+        # (field, term) structs, flattened and exploded. HOFs are interpreted
+        # (SCALE.md) but this is the one-time build path, and per-row work is
+        # O(tokens); the scan reads only the indexed columns.
+        def _field_structs(c: str):
+            # NB: the lambda must take exactly one arg — a second arg would
+            # be bound to the element INDEX by F.transform
+            return F.transform(
+                F.array_distinct(F.coalesce(F.col(c), F.array().cast("array<string>"))),
+                lambda t: F.struct(F.lit(c).alias("field"), t.alias("term")),
+            )
+
+        structs = [_field_structs(c) for c in cols]
+        postings = (
+            with_bucket.select(
+                "doc_bucket",
+                "doc_id",
+                "sent_id",
+                F.explode(F.flatten(F.array(*structs))).alias("ft"),
+            )
+            .select(
+                F.col("ft.field").alias("field"),
+                F.col("ft.term").alias("term"),
+                "doc_bucket",
+                "doc_id",
+                "sent_id",
+            )
+            .withColumn("tbucket", _bucket(F.col("term"), n_term_buckets))
+        )
+        (
+            postings.repartition("tbucket")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+
+        meta = {
+            "n_term_buckets": n_term_buckets,
+            "n_doc_buckets": n_doc_buckets,
+            "indexed_columns": cols,
+        }
+        # driver-side metadata file, like a table format's own manifest
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump(meta, f)
+        return TermIndex(sentences.sparkSession, path, meta)
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> "TermIndex":
+        with open(os.path.join(path, _META_FILE)) as f:
+            meta = json.load(f)
+        return TermIndex(spark, path, meta)
+
+    # -- candidate generation ----------------------------------------------
+
+    _KEYS = ["doc_bucket", "doc_id", "sent_id"]
+
+    def _term_keys(self, fields: Sequence[str], term: str) -> DataFrame:
+        """Pruned postings lookup: partition filter on tbucket + equality on
+        (field, term) → row-group skipping on the sorted term column."""
+        tb = zlib.crc32(term.encode()) % self.n_term_buckets
+        cond = (F.col("tbucket") == tb) & (F.col("term") == term)
+        if len(fields) == 1:
+            cond = cond & (F.col("field") == fields[0])
+        else:
+            cond = cond & F.col("field").isin(list(fields))
+        # distinct: the norm/norm_alt synonym union can yield the same key
+        # from both fields; AND-intersection joins below require unique keys
+        return self.postings.filter(cond).select(*self._KEYS).dropDuplicates(self._KEYS)
+
+    def candidate_keys(self, tree) -> Optional[DataFrame]:
+        """Sentence keys possibly matching the prefilter tree.
+
+        Returns None when the tree cannot bound the result (PFTrue, a regex
+        /fuzzy leaf, an OR with an unconstrained arm, or a field this index
+        did not invert) — the caller then falls back to the full scan.
+        Soundness mirrors plans/prefilter.py: the keys are a NECESSARY
+        condition, never a filter that could drop a true match.
+        """
+        t = type(tree)
+        if t is pf.PFTrue:
+            return None
+        if t is pf.PFFalse:
+            return self.postings.select(*self._KEYS).limit(0)
+        if t is pf.PFTerm:
+            col = pf._FIELD_TO_COLUMN.get(tree.field, tree.field)
+            if col not in self.indexed_columns:
+                return None
+            fields = [col]
+            # synonym union: [norm=x] matches via norm OR norm_alt
+            # (plans/prefilter.py to_spark_column renders the same union)
+            if tree.field == "norm" and "norm_alt" in self.indexed_columns:
+                fields.append("norm_alt")
+            return self._term_keys(fields, tree.value)
+        if t is pf.PFEdge:
+            if "outgoing_flat" not in self.indexed_columns:
+                return None
+            return self._term_keys(["outgoing_flat"], tree.label)
+        if t is pf.PFAnd:
+            subs = [self.candidate_keys(s) for s in tree.subs]
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            out = subs[0]
+            for s in subs[1:]:
+                out = out.join(s, on=self._KEYS, how="inner")
+            return out
+        if t is pf.PFOr:
+            subs = [self.candidate_keys(s) for s in tree.subs]
+            if any(s is None for s in subs) or not subs:
+                return None
+            out = subs[0]
+            for s in subs[1:]:
+                out = out.unionByName(s)
+            # dedup so a downstream AND-intersection join stays key-unique
+            return out.dropDuplicates(self._KEYS)
+        return None
+
+    # -- query surface -------------------------------------------------------
+
+    def engine(self, **kwargs) -> "IndexedSearchEngine":
+        return IndexedSearchEngine(self, **kwargs)
+
+
+class IndexedSearchEngine(SearchEngine):
+    """SearchEngine whose sentence source is the written index: candidate
+    keys from postings prune the sentence scan (dynamic partition pruning on
+    doc_bucket + leftsemi on the full key) before the boolean prefilter and
+    the matcher run unchanged."""
+
+    def __init__(self, index: TermIndex, **kwargs):
+        super().__init__(index.sentences, **kwargs)
+        self.index = index
+
+    def _prefilter_sentences(self, sents, extractors):
+        from .pipeline.extract import combined_prefilter
+
+        tree = combined_prefilter(extractors)
+        cand = self.index.candidate_keys(tree)
+        if cand is not None:
+            on = [k for k in TermIndex._KEYS if k in sents.columns]
+            sents = sents.join(cand.select(*on), on=on, how="leftsemi")
+        return apply_prefilter(sents, extractors)

@@ -99,6 +99,12 @@ class SearchEngine:
         self.extra_token_fields = tuple(extra_token_fields)
         self._reader = RuleReader.with_extra_token_fields(self.extra_token_fields)
 
+    def _prefilter_sentences(self, sents: DataFrame, extractors) -> DataFrame:
+        """Hook: narrow the sentence set before the matcher stage. The scan
+        path applies the boolean prefilter; index.IndexedSearchEngine
+        overrides this to prune via posting-list candidates first."""
+        return apply_prefilter(sents, extractors)
+
     def compile(self, pattern: str) -> Sequence[Extractor]:
         import yaml
 
@@ -126,7 +132,7 @@ class SearchEngine:
         if after is not None:
             sents = sents.filter(_sentence_cursor_prefilter(after))
         m = extract_mentions_df(
-            apply_prefilter(sents, extractors),
+            self._prefilter_sentences(sents, extractors),
             extractors,
             extra_token_fields=self.extra_token_fields,
         )

@@ -1,0 +1,126 @@
+"""Materialized term-posting index (odinson_spark/index.py): the Spark
+analogue of querying the reference's prebuilt Lucene index
+(lucene/index/OdinsonIndexWriter.scala:113-205; postings-driven skipping in
+lucene/search/*).
+
+Invariants under test:
+* index-path results are IDENTICAL to scan-path results for every pattern
+  class (term, concat, or, negation, regex, fuzzy, traversal, event),
+  including the unconstrained classes that must fall back to the full scan;
+* the postings lookup is actually pruned: static partition filter on
+  tbucket + pushed data filters on (field, term);
+* candidate generation is sound: PFAnd/PFOr compose as intersection/union,
+  unconstrained arms degrade to None (never an empty result).
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from odinson_spark.index import DEFAULT_INDEXED_COLUMNS, TermIndex
+from odinson_spark.pipeline.extract import tokenize_documents
+from odinson_spark.plans import prefilter as pf
+from odinson_spark.search import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    rows = []
+    for i in range(40):
+        extra = " fast" * (i % 3) + (" quick sort" if i % 5 == 0 else "")
+        rows.append((i, f"alpha beta{extra} gamma fast key end", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # through parquet so the scan path exercises real pushdown
+    p = str(tmp_path_factory.mktemp("idxcorpus") / "docs.parquet")
+    docs.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    return TermIndex.build(tokenize_documents(corpus), out, n_term_buckets=8, n_doc_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def scan_engine(corpus):
+    return SearchEngine(tokenize_documents(corpus))
+
+
+PATTERNS = [
+    "fast",                      # single term — fully index-driven
+    "quick sort",                # conjunction of terms (concat)
+    "alpha | quick",             # union
+    "key [!norm=key]",           # negation arm is unconstrained, term arm not
+    "[norm=/qu.*/]",             # regex — full-scan fallback
+    "fast~",                     # fuzzy — full-scan fallback
+    "(?<c> [norm=fast]) >next []",  # traversal with edge prefilter
+    "[] [norm=gamma]? fast",     # optional
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_index_path_equals_scan_path(index, scan_engine, pattern):
+    a = sorted(
+        map(tuple, index.engine().mentions(pattern).select("doc_id", "sent_id", "start", "end").collect())
+    )
+    b = sorted(
+        map(tuple, scan_engine.mentions(pattern).select("doc_id", "sent_id", "start", "end").collect())
+    )
+    assert a == b and (len(a) > 0 or pattern == "quick sort")
+
+
+def test_pagination_on_index_path(index, scan_engine):
+    eng = index.engine()
+    full = sorted(
+        (r.doc_id, r.sent_id, r.start, r.end) for r in scan_engine.mentions("fast").collect()
+    )
+    seen, cursor = [], None
+    while True:
+        page = eng.search("fast", n=9, after=cursor)
+        seen.extend((r.doc_id, r.sent_id, r.start, r.end) for r in page.rows)
+        if page.next_cursor is None:
+            break
+        cursor = page.next_cursor
+    assert seen == full
+
+
+def test_postings_lookup_is_pruned(index):
+    plan = index._term_keys(["norm"], "fast")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tbucket" in plan or "tbucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "term" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_candidates_sound_and_unbounded_cases(index):
+    # a term that exists
+    keys = index.candidate_keys(pf.PFTerm("norm", "fast"))
+    n_fast = keys.count()
+    assert n_fast > 0
+    # AND with unconstrained arm = just the constrained arm
+    both = index.candidate_keys(pf.pf_and([pf.PFTerm("norm", "fast"), pf.PFTrue()]))
+    assert both.count() == n_fast
+    # OR with unconstrained arm cannot bound
+    assert index.candidate_keys(pf.pf_or([pf.PFTerm("norm", "fast"), pf.PFTrue()])) is None
+    # unknown field cannot bound
+    assert index.candidate_keys(pf.PFTerm("nosuchfield", "x")) is None
+    # PFFalse = empty
+    assert index.candidate_keys(pf.PFFalse()).count() == 0
+    # intersection really intersects: fast AND quick < fast
+    inter = index.candidate_keys(
+        pf.pf_and([pf.PFTerm("norm", "fast"), pf.PFTerm("norm", "quick")])
+    )
+    assert 0 < inter.count() < n_fast
+
+
+def test_round_trip_read(spark, index):
+    idx2 = TermIndex.read(spark, index.path)
+    assert idx2.indexed_columns == index.indexed_columns
+    a = index.candidate_keys(pf.PFTerm("norm", "fast")).count()
+    assert idx2.candidate_keys(pf.PFTerm("norm", "fast")).count() == a
+
+
+def test_meta_file_written(index):
+    assert os.path.exists(os.path.join(index.path, "odinson_index_meta.json"))
+    assert set(index.indexed_columns) <= set(DEFAULT_INDEXED_COLUMNS)
