@@ -1,0 +1,104 @@
+"""Index-backed vs scan-path interactive query latency.
+
+Materializes the sf0.1 sentence table once as (a) plain parquet and (b) a
+TermIndex (bucketed sentences + postings), then measures first-page search
+latency for a selective and a common term on both paths. The comparison is
+same-window relative, best-of-N interleaved (BENCH.md capture hygiene).
+
+Usage: python benchmarks/index_bench.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    base = os.path.join(REPO, ".benchdata", "idxbench_" + os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(base, exist_ok=True)
+
+    from odinson_spark.index import TermIndex
+    from odinson_spark.pipeline.extract import tokenize_documents
+    from odinson_spark.search import SearchEngine
+    from odinson_spark.session import get_spark
+
+    spark = get_spark(app_name="index-bench")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    plain_path = os.path.join(base, "sent_plain")
+    idx_path = os.path.join(base, "index")
+    t0 = time.time()
+    if not os.path.exists(os.path.join(plain_path, "_SUCCESS")):
+        tokenize_documents(docs).write.mode("overwrite").parquet(plain_path)
+    t_plain = time.time() - t0
+    t0 = time.time()
+    if not os.path.exists(os.path.join(idx_path, "odinson_index_meta.json")):
+        idx = TermIndex.build(tokenize_documents(docs), idx_path)
+    else:
+        idx = TermIndex.read(spark, idx_path)
+    t_index_build = time.time() - t0
+
+    scan = SearchEngine(spark.read.parquet(plain_path))
+    ieng = idx.engine()
+
+    # term selectivity: a rare term (bottom of the frequency table that still
+    # matches) and a common one
+    freqs = (
+        spark.read.parquet(plain_path)
+        .select(F.explode("norm").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy("count", "t")
+    )
+    rare = freqs.first()["t"]
+    common = freqs.orderBy(F.desc("count"), F.asc("t")).first()["t"]
+    print(f"rare term: {rare!r}, common term: {common!r}")
+
+    cases = {
+        "rare_first_page": rare,
+        "common_first_page": common,
+        "conj_first_page": f"{common} []",
+    }
+    results: dict[str, dict[str, float]] = {k: {} for k in cases}
+    for _ in range(3):
+        for case, pat in cases.items():
+            for name, eng in (("scan", scan), ("index", ieng)):
+                t0 = time.time()
+                eng.search(pat, n=10)
+                dt = time.time() - t0
+                cur = results[case].get(name)
+                if cur is None or dt < cur:
+                    results[case][name] = dt
+
+    out = {
+        "sf_dir": sf_dir,
+        "build_plain_sec": round(t_plain, 3),
+        "build_index_sec": round(t_index_build, 3),
+        "cases": {
+            c: {
+                "scan_sec": round(v["scan"], 3),
+                "index_sec": round(v["index"], 3),
+                "speedup": round(v["scan"] / v["index"], 2),
+            }
+            for c, v in results.items()
+        },
+    }
+    print(json.dumps(out, indent=1))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(out, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

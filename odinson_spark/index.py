@@ -79,6 +79,37 @@ def doc_bucket_of(doc_id: str, n: int) -> int:
     return zlib.crc32(str(doc_id).encode()) % n
 
 
+def _postings_of(with_bucket: DataFrame, cols: Sequence[str], n_term_buckets: int) -> DataFrame:
+    """One scan → distinct (field, term) per sentence, exploded flat.
+    HOFs are interpreted (SCALE.md) but this is the build path and per-row
+    work is O(tokens); the scan reads only the indexed columns."""
+
+    def _field_structs(c: str):
+        # NB: the lambda must take exactly one arg — a second arg would be
+        # bound to the element INDEX by F.transform
+        return F.transform(
+            F.array_distinct(F.coalesce(F.col(c), F.array().cast("array<string>"))),
+            lambda t: F.struct(F.lit(c).alias("field"), t.alias("term")),
+        )
+
+    return (
+        with_bucket.select(
+            "doc_bucket",
+            "doc_id",
+            "sent_id",
+            F.explode(F.flatten(F.array(*[_field_structs(c) for c in cols]))).alias("ft"),
+        )
+        .select(
+            F.col("ft.field").alias("field"),
+            F.col("ft.term").alias("term"),
+            "doc_bucket",
+            "doc_id",
+            "sent_id",
+        )
+        .withColumn("tbucket", _bucket(F.col("term"), n_term_buckets))
+    )
+
+
 class TermIndex:
     """A written (sentences, postings) pair plus its meta."""
 
@@ -103,44 +134,19 @@ class TermIndex:
         indexed_columns: Sequence[str] = DEFAULT_INDEXED_COLUMNS,
     ) -> "TermIndex":
         cols = [c for c in indexed_columns if c in sentences.columns]
+        # gen = write generation (Lucene's sequence number): lets a delete
+        # tombstone doc versions written BEFORE it without hiding a later
+        # re-add of the same doc_id (see delete_documents/live_sentences)
         with_bucket = sentences.withColumn(
             "doc_bucket", _bucket(F.col("doc_id"), n_doc_buckets)
-        )
+        ).withColumn("gen", F.lit(0).cast("long"))
         (
             with_bucket.write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(os.path.join(path, "sentences"))
         )
 
-        # one scan builds every field's postings: per-field distinct terms →
-        # (field, term) structs, flattened and exploded. HOFs are interpreted
-        # (SCALE.md) but this is the one-time build path, and per-row work is
-        # O(tokens); the scan reads only the indexed columns.
-        def _field_structs(c: str):
-            # NB: the lambda must take exactly one arg — a second arg would
-            # be bound to the element INDEX by F.transform
-            return F.transform(
-                F.array_distinct(F.coalesce(F.col(c), F.array().cast("array<string>"))),
-                lambda t: F.struct(F.lit(c).alias("field"), t.alias("term")),
-            )
-
-        structs = [_field_structs(c) for c in cols]
-        postings = (
-            with_bucket.select(
-                "doc_bucket",
-                "doc_id",
-                "sent_id",
-                F.explode(F.flatten(F.array(*structs))).alias("ft"),
-            )
-            .select(
-                F.col("ft.field").alias("field"),
-                F.col("ft.term").alias("term"),
-                "doc_bucket",
-                "doc_id",
-                "sent_id",
-            )
-            .withColumn("tbucket", _bucket(F.col("term"), n_term_buckets))
-        )
+        postings = _postings_of(with_bucket, cols, n_term_buckets)
         (
             postings.repartition("tbucket")
             .sortWithinPartitions("field", "term")
@@ -153,6 +159,7 @@ class TermIndex:
             "n_term_buckets": n_term_buckets,
             "n_doc_buckets": n_doc_buckets,
             "indexed_columns": cols,
+            "next_gen": 1,
         }
         # driver-side metadata file, like a table format's own manifest
         with open(os.path.join(path, _META_FILE), "w") as f:
@@ -165,6 +172,135 @@ class TermIndex:
             meta = json.load(f)
         return TermIndex(spark, path, meta)
 
+    # -- incremental maintenance --------------------------------------------
+    # The reference's live index supports add/delete/update/refresh
+    # (lucene/index/IncrementalOdinsonIndex.scala:104-124,224 —
+    # indexOdinsonDoc / deleteOdinsonDoc / updateOdinsonDoc / refresh).
+    # Lucene's own delete is a tombstone bitmap purged on segment merge; the
+    # Spark rendering is identical in shape: adds APPEND new parquet files
+    # into the existing bucket directories (no rewrite — bucket assignment is
+    # deterministic, so new postings land in the partitions queries already
+    # prune to), deletes APPEND doc ids to a tombstone table that readers
+    # anti-join (broadcast — tombstones are small between compactions), and
+    # ``compact()`` is the segment merge: rewrite both tables minus
+    # tombstones. At 100 TB an add touches only the new data (one shuffle to
+    # bucket its postings) and a delete writes kilobytes; nothing rewrites
+    # the corpus until an explicit compact.
+
+    _TOMBSTONES = "tombstones"
+
+    def _write_meta(self) -> None:
+        with open(os.path.join(self.path, _META_FILE), "w") as f:
+            json.dump(self.meta, f)
+
+    def _tombstones(self) -> Optional[DataFrame]:
+        p = os.path.join(self.path, self._TOMBSTONES)
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    def live_sentences(self) -> DataFrame:
+        """The sentence table minus tombstoned doc versions (what queries
+        see). A tombstone (doc_id, cutoff) hides rows of that doc written
+        before generation ``cutoff`` — a later re-add (higher gen) stays
+        visible, matching Lucene's sequence-number delete semantics."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return self.sentences
+        cutoffs = tomb.groupBy("doc_id").agg(F.max("cutoff").alias("cutoff"))
+        return (
+            self.sentences.join(F.broadcast(cutoffs), on="doc_id", how="left")
+            .filter(F.col("cutoff").isNull() | (F.col("gen") >= F.col("cutoff")))
+            .drop("cutoff")
+        )
+
+    def add_documents(self, sentences: DataFrame) -> None:
+        """Append newly annotated sentences (same schema as ``build``'s
+        input). New files land inside the existing doc_bucket / tbucket
+        partition directories, so query-side pruning is unchanged."""
+        gen = int(self.meta.get("next_gen", 1))
+        cols = [c for c in self.indexed_columns if c in sentences.columns]
+        with_bucket = sentences.withColumn(
+            "doc_bucket", _bucket(F.col("doc_id"), self.n_doc_buckets)
+        ).withColumn("gen", F.lit(gen).cast("long"))
+        (
+            with_bucket.write.mode("append")
+            .partitionBy("doc_bucket")
+            .parquet(os.path.join(self.path, "sentences"))
+        )
+        postings = _postings_of(with_bucket, cols, self.n_term_buckets)
+        (
+            postings.repartition("tbucket")
+            .sortWithinPartitions("field", "term")
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(os.path.join(self.path, "postings"))
+        )
+        self.meta["next_gen"] = gen + 1
+        self._write_meta()
+        self.refresh()
+
+    def delete_documents(self, doc_ids: Sequence) -> None:
+        """Tombstone documents (reference deleteOdinsonDoc). O(ids) write;
+        the data files are untouched until ``compact()``. Only versions
+        written before this call are hidden (cutoff = current generation)."""
+        cutoff = int(self.meta.get("next_gen", 1))
+        df = self.spark.createDataFrame(
+            [(str(d), cutoff) for d in doc_ids], "doc_id string, cutoff long"
+        )
+        # match the sentence table's doc_id type so the join stays cast-free
+        # (build() preserves whatever type the caller used)
+        target_type = dict(self.sentences.dtypes)["doc_id"]
+        df = df.select(F.col("doc_id").cast(target_type), "cutoff")
+        df.write.mode("append").parquet(os.path.join(self.path, self._TOMBSTONES))
+        # deletes advance the generation too, so a delete-then-re-add within
+        # the same index lifetime lands at gen > cutoff
+        self.meta["next_gen"] = cutoff + 1
+        self._write_meta()
+
+    def update_documents(self, sentences: DataFrame) -> None:
+        """Reference updateOdinsonDoc: tombstone the old version, append the
+        new one (which lands at a later generation, so it stays visible)."""
+        ids = [r[0] for r in sentences.select("doc_id").distinct().collect()]
+        if ids:
+            self.delete_documents(ids)
+        self.add_documents(sentences)
+
+    def compact(self) -> None:
+        """Purge tombstones by rewriting both tables (Lucene's segment
+        merge). The only full rewrite in the lifecycle — run it when the
+        tombstone fraction warrants reclaiming the space/filter cost."""
+        import shutil
+        import tempfile
+
+        tomb = self._tombstones()
+        if tomb is None:
+            return
+        live = self.live_sentences()
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(self.path) or ".")
+        rebuilt = TermIndex.build(
+            live.drop("doc_bucket"),
+            os.path.join(tmp, "index"),
+            n_term_buckets=self.n_term_buckets,
+            n_doc_buckets=self.n_doc_buckets,
+            indexed_columns=self.indexed_columns,
+        )
+        for sub in ("sentences", "postings"):
+            old = os.path.join(self.path, sub)
+            shutil.rmtree(old)
+            shutil.move(os.path.join(rebuilt.path, sub), old)
+        shutil.rmtree(os.path.join(self.path, self._TOMBSTONES))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-open the table readers so queries see appended files
+        (reference refresh(): searcher manager re-open)."""
+        self.sentences = self.spark.read.parquet(os.path.join(self.path, "sentences"))
+        self.postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
+
     # -- candidate generation ----------------------------------------------
 
     _KEYS = ["doc_bucket", "doc_id", "sent_id"]
@@ -174,13 +310,18 @@ class TermIndex:
         (field, term) → row-group skipping on the sorted term column."""
         tb = zlib.crc32(term.encode()) % self.n_term_buckets
         cond = (F.col("tbucket") == tb) & (F.col("term") == term)
+        out = None
         if len(fields) == 1:
             cond = cond & (F.col("field") == fields[0])
+            # postings are distinct (field, term, key) rows by construction,
+            # so a single-field lookup is already key-unique — no shuffle
+            out = self.postings.filter(cond).select(*self._KEYS)
         else:
             cond = cond & F.col("field").isin(list(fields))
-        # distinct: the norm/norm_alt synonym union can yield the same key
-        # from both fields; AND-intersection joins below require unique keys
-        return self.postings.filter(cond).select(*self._KEYS).dropDuplicates(self._KEYS)
+            # the norm/norm_alt synonym union can yield the same key from
+            # both fields; AND-intersection joins below require unique keys
+            out = self.postings.filter(cond).select(*self._KEYS).dropDuplicates(self._KEYS)
+        return out
 
     def candidate_keys(self, tree) -> Optional[DataFrame]:
         """Sentence keys possibly matching the prefilter tree.
@@ -242,9 +383,13 @@ class IndexedSearchEngine(SearchEngine):
     doc_bucket + leftsemi on the full key) before the boolean prefilter and
     the matcher run unchanged."""
 
-    def __init__(self, index: TermIndex, **kwargs):
-        super().__init__(index.sentences, **kwargs)
+    def __init__(self, index: TermIndex, broadcast_candidates: bool = True, **kwargs):
+        # live view: appended files visible, tombstoned docs filtered. A new
+        # engine (or index.refresh() + new engine) is the reference's
+        # searcher-manager re-open.
+        super().__init__(index.live_sentences(), **kwargs)
         self.index = index
+        self.broadcast_candidates = broadcast_candidates
 
     def _prefilter_sentences(self, sents, extractors):
         from .pipeline.extract import combined_prefilter
@@ -253,5 +398,16 @@ class IndexedSearchEngine(SearchEngine):
         cand = self.index.candidate_keys(tree)
         if cand is not None:
             on = [k for k in TermIndex._KEYS if k in sents.columns]
-            sents = sents.join(cand.select(*on), on=on, how="leftsemi")
+            cand = cand.select(*on)
+            # Interactive queries are selective by construction (that is why
+            # the index path was chosen), so broadcasting the candidate keys
+            # makes this a broadcast-hash SEMI join and lets dynamic partition
+            # pruning drop whole doc_bucket directories from the sentence
+            # scan. For a deliberately non-selective query against a huge
+            # corpus (a stop-word term at 100 TB), pass
+            # broadcast_candidates=False: the hint is dropped and AQE picks
+            # shuffle-vs-broadcast from the candidate side's runtime size.
+            if self.broadcast_candidates:
+                cand = F.broadcast(cand)
+            sents = sents.join(cand, on=on, how="leftsemi")
         return apply_prefilter(sents, extractors)

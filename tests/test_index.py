@@ -124,3 +124,66 @@ def test_round_trip_read(spark, index):
 def test_meta_file_written(index):
     assert os.path.exists(os.path.join(index.path, "odinson_index_meta.json"))
     assert set(index.indexed_columns) <= set(DEFAULT_INDEXED_COLUMNS)
+
+
+class TestIncremental:
+    """add/delete/update/compact — the reference's live-index operations
+    (lucene/index/IncrementalOdinsonIndex.scala:104-124): adds append into
+    existing bucket directories, deletes tombstone, compact purges."""
+
+    @pytest.fixture()
+    def inc(self, spark, corpus, tmp_path):
+        out = str(tmp_path / "inc_index")
+        return TermIndex.build(
+            tokenize_documents(corpus), out, n_term_buckets=8, n_doc_buckets=4
+        )
+
+    def _hits(self, idx, pattern="fast"):
+        return sorted(
+            (r.doc_id, r.sent_id, r.start, r.end)
+            for r in idx.engine().mentions(pattern).collect()
+        )
+
+    def test_add_documents_visible_and_pruned(self, spark, inc):
+        before = self._hits(inc)
+        new = spark.createDataFrame(
+            [(1000, "zeppelin fast zeppelin", "en")],
+            "doc_id long, text string, lang string",
+        )
+        inc.add_documents(tokenize_documents(new))
+        after = self._hits(inc)
+        assert len(after) == len(before) + 1
+        assert any(str(d) == "1000" for d, *_ in after)
+        # the new term is index-reachable (not scan-fallback): candidate
+        # lookup finds it through the postings
+        from odinson_spark.plans import prefilter as pf
+
+        keys = inc.candidate_keys(pf.PFTerm("norm", "zeppelin"))
+        assert keys is not None and keys.count() == 1
+
+    def test_delete_is_tombstone_until_compact(self, spark, inc):
+        before = self._hits(inc)
+        victims = sorted({d for d, *_ in before})[:2]
+        inc.delete_documents(victims)
+        after = self._hits(inc)
+        assert {d for d, *_ in after}.isdisjoint(victims)
+        assert len(after) < len(before)
+        # physical files untouched before compact
+        raw = inc.sentences.count()
+        live = inc.live_sentences().count()
+        assert raw - live == len(victims)
+        inc.compact()
+        assert inc.sentences.count() == live
+        assert inc._tombstones() is None
+        assert self._hits(inc) == after
+
+    def test_update_replaces(self, spark, inc):
+        new = spark.createDataFrame(
+            [(0, "replaced fast body", "en")],
+            "doc_id long, text string, lang string",
+        )
+        inc.update_documents(tokenize_documents(new))
+        hits = [t for t in self._hits(inc) if str(t[0]) == "0"]
+        assert len(hits) == 1  # exactly the new version's single 'fast'
+        # old tokens of doc 0 are gone
+        assert all(str(t[0]) != "0" for t in self._hits(inc, "alpha"))
