@@ -718,6 +718,47 @@ rules:
     q["idx_term"] = lambda s, d: _idx_spans(s, d, "fast")
     q["idx_conj"] = lambda s, d: _idx_spans(s, d, "fast table")
 
+    def _q_idx_incremental(s, d):
+        """Live-index lifecycle (index.py add/delete/update — reference
+        IncrementalOdinsonIndex.scala:104-124): build the index WITHOUT the
+        doc_id%10==3 stratum, add it back incrementally (append into the
+        same bucket dirs), then tombstone the doc_id%10==7 stratum. The
+        result must equal a plain term query over documents minus the
+        deleted stratum — adds fully queryable, deletes fully hidden."""
+        import tempfile
+
+        from odinson_spark.index import TermIndex
+        from odinson_spark.pipeline.extract import tokenize_documents
+
+        docs = _t(s, d, "documents")
+        base = docs.filter(F.col("doc_id").cast("long") % 10 != 3)
+        added = docs.filter(F.col("doc_id").cast("long") % 10 == 3)
+        tmp = tempfile.mkdtemp(prefix="odx_inc_")
+        idx = TermIndex.build(
+            tokenize_documents(base), tmp, n_term_buckets=16, n_doc_buckets=8
+        )
+        idx.add_documents(tokenize_documents(added))
+        victims = [
+            r[0]
+            for r in docs.filter(F.col("doc_id").cast("long") % 10 == 7)
+            .select("doc_id")
+            .collect()
+        ]
+        idx.delete_documents(victims)
+        return (
+            idx.engine()
+            .mentions("fast")
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("start").alias("mstart"),
+                F.col("end").alias("mend"),
+                F.col("text").alias("mtext"),
+            )
+            .orderBy("doc_id", "mstart", "mend")
+        )
+
+    q["idx_incremental"] = _q_idx_incremental
+
     return q
 
 
@@ -746,6 +787,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     o["pat_term"] = spans("tok = 'fast'")
     # index path ≡ scan path: same mention stream, same oracles
     o["idx_term"] = spans("tok = 'fast'")
+    # incremental lifecycle: add-back is invisible in the final state; the
+    # tombstoned doc_id%10==7 stratum is gone
+    o["idx_incremental"] = spans("tok = 'fast' AND doc_id % 10 <> 7")
     o["pat_concat"] = spans(
         """
 SELECT a.doc_id, a.pos AS mstart, (a.pos + 2)::INT AS mend,

@@ -64,21 +64,38 @@ def main():
     common = freqs.orderBy(F.desc("count"), F.asc("t")).first()["t"]
     print(f"rare term: {rare!r}, common term: {common!r}")
 
+    # first_page: `limit n` lets the SCAN path early-exit after a few
+    # partitions, so both paths are corpus-size-flat — the scan is hard to
+    # beat there. exhaustive: every match must be found (totalHits / count —
+    # the reference's default computeTotalHits=true shape); the scan reads
+    # every row group of the token columns (array_contains can't use footer
+    # stats) while the index path visits only posting row groups + candidate
+    # doc_bucket partitions, so this is where postings pay.
     cases = {
-        "rare_first_page": rare,
-        "common_first_page": common,
-        "conj_first_page": f"{common} []",
+        "rare_first_page": ("page", rare),
+        "common_first_page": ("page", common),
+        "conj_first_page": ("page", f"{common} []"),
+        "rare_exhaustive": ("count", rare),
+        "conj_exhaustive": ("count", f"{rare} {common}"),
     }
     results: dict[str, dict[str, float]] = {k: {} for k in cases}
+    counts: dict[str, dict[str, int]] = {k: {} for k in cases}
     for _ in range(3):
-        for case, pat in cases.items():
+        for case, (kind, pat) in cases.items():
             for name, eng in (("scan", scan), ("index", ieng)):
                 t0 = time.time()
-                eng.search(pat, n=10)
+                if kind == "page":
+                    eng.search(pat, n=10)
+                    n = 10
+                else:
+                    n = eng.mentions(pat).count()
                 dt = time.time() - t0
+                counts[case][name] = n
                 cur = results[case].get(name)
                 if cur is None or dt < cur:
                     results[case][name] = dt
+    for case in counts:
+        assert counts[case]["scan"] == counts[case]["index"], (case, counts[case])
 
     out = {
         "sf_dir": sf_dir,

@@ -26,6 +26,8 @@ HELP = """commands:
   :settings         engine settings (page size, extra token fields)
   :display N        set the page size (current shown in :settings)
   :more             next page of the current query
+  :index PATH       switch to a prebuilt TermIndex directory (postings-
+                    pruned queries, the reference shell's native mode)
   :load PATH        compile a YAML rule file (:run executes it)
   :run              run the loaded rule file; print mentions per rule
   :reload           recompile the last loaded rule file
@@ -144,6 +146,21 @@ class OdinsonShell:
                 self._p("no more results")
             else:
                 self._show_page()
+        elif line.startswith(":index"):
+            try:
+                from .index import TermIndex
+
+                path = line.split(None, 1)[1]
+                spark = self.engine.sentences.sparkSession
+                self.engine = TermIndex.read(spark, path).engine(
+                    extra_token_fields=self.engine.extra_token_fields
+                )
+                self.query, self.after, self.shown = None, None, 0
+                self._p(f"using index at {path}")
+            except IndexError:
+                self._p("usage: :index PATH")
+            except Exception as e:
+                self._p(f"error: {e}")
         elif line.startswith(":load"):
             try:
                 self._cmd_load(line.split(None, 1)[1])
@@ -203,7 +220,14 @@ def main(argv=None):
     from .session import get_spark
 
     spark = get_spark(app_name="odinson-shell")
-    engine = SearchEngine(spark.read.parquet(argv[0]))
+    import os
+
+    if os.path.exists(os.path.join(argv[0], "odinson_index_meta.json")):
+        from .index import TermIndex
+
+        engine = TermIndex.read(spark, argv[0]).engine()
+    else:
+        engine = SearchEngine(spark.read.parquet(argv[0]))
     OdinsonShell(engine).run(iter(sys.stdin.readline, ""))
     spark.stop()
     return 0

@@ -86,3 +86,21 @@ def test_mkdoc_emits_document_json(engine):
 def test_more_without_query(engine):
     out = drive(engine, ":more")
     assert "no active query" in out
+
+
+def test_index_command_switches_engine(spark, engine, tmp_path):
+    from odinson_spark.index import TermIndex
+    from odinson_spark.pipeline.extract import tokenize_documents as tok
+
+    docs = spark.createDataFrame(
+        [(100, "indexed zeppelin fast", "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "shellidx")
+    TermIndex.build(tok(docs), path, n_term_buckets=4, n_doc_buckets=2)
+    out = drive(engine, ":index " + path, "zeppelin", ":settings")
+    assert f"using index at {path}" in out
+    assert ">>> zeppelin <<<" in out  # queries now hit the index corpus
+    assert "display = 10" in out  # shell state survives the switch
+    # bad path reports and keeps the shell alive
+    out = drive(engine, ":index /nonexistent", ":corpus")
+    assert "error:" in out and "sentences: 12" in out
