@@ -48,6 +48,24 @@ def main():
         idx = TermIndex.read(spark, idx_path)
     t_index_build = time.time() - t0
 
+    # Inject a handful of marker docs carrying a token that exists nowhere
+    # else (the synthetic corpus has a ~4k-token vocabulary, so NO natural
+    # term is selective — every term matches 10^5+ sentences at ×1000).
+    # This creates the selective-query regime the posting index exists for,
+    # and exercises the incremental add path at full corpus scale.
+    marker = "needleword"
+    marker_path = os.path.join(base, "markers")
+    n_markers = 20
+    if not os.path.exists(os.path.join(marker_path, "_SUCCESS")):
+        mdocs = spark.createDataFrame(
+            [(10_000_000 + i, f"prefix {marker} suffix", "en") for i in range(n_markers)],
+            "doc_id long, text string, lang string",
+        )
+        tokenize_documents(mdocs).write.mode("overwrite").parquet(marker_path)
+        idx.add_documents(spark.read.parquet(marker_path))
+        # scan side sees the same docs (append to the plain table)
+        spark.read.parquet(marker_path).write.mode("append").parquet(plain_path)
+
     scan = SearchEngine(spark.read.parquet(plain_path))
     ieng = idx.engine()
 
@@ -72,6 +90,9 @@ def main():
     # stats) while the index path visits only posting row groups + candidate
     # doc_bucket partitions, so this is where postings pay.
     cases = {
+        "selective_first_page": ("page", marker),
+        "selective_exhaustive": ("count", marker),
+        "selective_conj_exhaustive": ("count", f"prefix {marker}"),
         "rare_first_page": ("page", rare),
         "common_first_page": ("page", common),
         "conj_first_page": ("page", f"{common} []"),

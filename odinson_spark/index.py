@@ -120,8 +120,13 @@ class TermIndex:
         self.n_term_buckets = int(meta["n_term_buckets"])
         self.n_doc_buckets = int(meta["n_doc_buckets"])
         self.indexed_columns = tuple(meta["indexed_columns"])
+        self.n_sentences = meta.get("n_sentences")
         self.sentences = spark.read.parquet(os.path.join(path, "sentences"))
         self.postings = spark.read.parquet(os.path.join(path, "postings"))
+        stats_path = os.path.join(path, "stats")
+        self.stats = (
+            spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
+        )
 
     # -- build --------------------------------------------------------------
 
@@ -154,12 +159,34 @@ class TermIndex:
             .partitionBy("tbucket")
             .parquet(os.path.join(path, "postings"))
         )
+        spark = sentences.sparkSession
+        # per-(field, term) document frequency — Lucene's cost model input
+        # (TermStates.docFreq drives its query planning): the engine skips
+        # the candidate join for terms whose postings are a large corpus
+        # fraction, where a scan is the cheaper plan. Small table (distinct
+        # terms × fields), same tbucket pruning as the postings. Computed
+        # from the files just written, not the upstream plan, so the
+        # (possibly expensive) annotation pipeline doesn't re-run.
+        written = spark.read.parquet(os.path.join(path, "postings"))
+        stats = (
+            written.groupBy("tbucket", "field", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        (
+            stats.repartition("tbucket")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(os.path.join(path, "stats"))
+        )
 
+        n_sentences = spark.read.parquet(os.path.join(path, "sentences")).count()
         meta = {
             "n_term_buckets": n_term_buckets,
             "n_doc_buckets": n_doc_buckets,
             "indexed_columns": cols,
             "next_gen": 1,
+            "n_sentences": n_sentences,
         }
         # driver-side metadata file, like a table format's own manifest
         with open(os.path.join(path, _META_FILE), "w") as f:
@@ -238,6 +265,23 @@ class TermIndex:
             .partitionBy("tbucket")
             .parquet(os.path.join(self.path, "postings"))
         )
+        if self.stats is not None:
+            # stats for just the new batch, from its own plan (an increment
+            # is small by definition); readers sum df across files
+            inc_stats = (
+                postings.groupBy("tbucket", "field", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            (
+                inc_stats.repartition("tbucket")
+                .sortWithinPartitions("field", "term")
+                .write.mode("append")
+                .partitionBy("tbucket")
+                .parquet(os.path.join(self.path, "stats"))
+            )
+            self.meta["n_sentences"] = int(
+                self.meta.get("n_sentences", 0)
+            ) + with_bucket.count()
         self.meta["next_gen"] = gen + 1
         self._write_meta()
         self.refresh()
@@ -287,12 +331,17 @@ class TermIndex:
             n_doc_buckets=self.n_doc_buckets,
             indexed_columns=self.indexed_columns,
         )
-        for sub in ("sentences", "postings"):
+        for sub in ("sentences", "postings", "stats"):
             old = os.path.join(self.path, sub)
-            shutil.rmtree(old)
-            shutil.move(os.path.join(rebuilt.path, sub), old)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            new = os.path.join(rebuilt.path, sub)
+            if os.path.isdir(new):
+                shutil.move(new, old)
         shutil.rmtree(os.path.join(self.path, self._TOMBSTONES))
         shutil.rmtree(tmp, ignore_errors=True)
+        self.meta["n_sentences"] = rebuilt.meta.get("n_sentences")
+        self._write_meta()
         self.refresh()
 
     def refresh(self) -> None:
@@ -300,6 +349,11 @@ class TermIndex:
         (reference refresh(): searcher manager re-open)."""
         self.sentences = self.spark.read.parquet(os.path.join(self.path, "sentences"))
         self.postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
+        stats_path = os.path.join(self.path, "stats")
+        self.stats = (
+            self.spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
+        )
+        self.n_sentences = self.meta.get("n_sentences")
 
     # -- candidate generation ----------------------------------------------
 
@@ -322,6 +376,57 @@ class TermIndex:
             # both fields; AND-intersection joins below require unique keys
             out = self.postings.filter(cond).select(*self._KEYS).dropDuplicates(self._KEYS)
         return out
+
+    def _term_df(self, fields: Sequence[str], term: str) -> Optional[int]:
+        """Document frequency of (fields, term) from the stats table — a
+        pruned lookup (tbucket partition + sorted-term row-group skip) of a
+        table with one row per distinct (field, term), i.e. Lucene's
+        TermStates.docFreq. None when stats are unavailable."""
+        if self.stats is None:
+            return None
+        tb = zlib.crc32(term.encode()) % self.n_term_buckets
+        rows = (
+            self.stats.filter(
+                (F.col("tbucket") == tb)
+                & (F.col("term") == term)
+                & F.col("field").isin(list(fields))
+            )
+            .agg(F.sum("df"))
+            .first()
+        )
+        return int(rows[0] or 0)
+
+    def estimated_candidates(self, tree) -> Optional[int]:
+        """Upper-bound candidate-key count for the prefilter tree, from
+        per-term document frequencies. None = unbounded (the tree has an
+        unconstrained arm or stats are absent). AND takes the tightest arm;
+        OR sums. The engine uses this as Lucene uses docFreq: to decide
+        whether the postings plan beats the scan plan."""
+        t = type(tree)
+        if t is pf.PFFalse:
+            return 0
+        if t is pf.PFTerm:
+            col = pf._FIELD_TO_COLUMN.get(tree.field, tree.field)
+            if col not in self.indexed_columns:
+                return None
+            fields = [col]
+            if tree.field == "norm" and "norm_alt" in self.indexed_columns:
+                fields.append("norm_alt")
+            return self._term_df(fields, tree.value)
+        if t is pf.PFEdge:
+            if "outgoing_flat" not in self.indexed_columns:
+                return None
+            return self._term_df(["outgoing_flat"], tree.label)
+        if t is pf.PFAnd:
+            ests = [self.estimated_candidates(s) for s in tree.subs]
+            ests = [e for e in ests if e is not None]
+            return min(ests) if ests else None
+        if t is pf.PFOr:
+            ests = [self.estimated_candidates(s) for s in tree.subs]
+            if not ests or any(e is None for e in ests):
+                return None
+            return sum(ests)
+        return None
 
     def candidate_keys(self, tree) -> Optional[DataFrame]:
         """Sentence keys possibly matching the prefilter tree.
@@ -383,18 +488,37 @@ class IndexedSearchEngine(SearchEngine):
     doc_bucket + leftsemi on the full key) before the boolean prefilter and
     the matcher run unchanged."""
 
-    def __init__(self, index: TermIndex, broadcast_candidates: bool = True, **kwargs):
+    def __init__(
+        self,
+        index: TermIndex,
+        broadcast_candidates: bool = True,
+        max_candidate_frac: float = 0.1,
+        **kwargs,
+    ):
         # live view: appended files visible, tombstoned docs filtered. A new
         # engine (or index.refresh() + new engine) is the reference's
         # searcher-manager re-open.
         super().__init__(index.live_sentences(), **kwargs)
         self.index = index
         self.broadcast_candidates = broadcast_candidates
+        self.max_candidate_frac = max_candidate_frac
 
     def _prefilter_sentences(self, sents, extractors):
         from .pipeline.extract import combined_prefilter
 
         tree = combined_prefilter(extractors)
+        # cost-based plan choice (Lucene plans from TermStates.docFreq):
+        # when the estimated candidate set is a large fraction of the
+        # corpus, the posting lookup + key join costs more than it prunes —
+        # the boolean-prefiltered scan IS the cheaper plan. The estimate is
+        # a pruned read of the tiny stats table, paid once per query.
+        est = self.index.estimated_candidates(tree)
+        if (
+            est is not None
+            and self.index.n_sentences
+            and est > self.max_candidate_frac * int(self.index.n_sentences)
+        ):
+            return apply_prefilter(sents, extractors)
         cand = self.index.candidate_keys(tree)
         if cand is not None:
             on = [k for k in TermIndex._KEYS if k in sents.columns]

@@ -187,3 +187,31 @@ class TestIncremental:
         assert len(hits) == 1  # exactly the new version's single 'fast'
         # old tokens of doc 0 are gone
         assert all(str(t[0]) != "0" for t in self._hits(inc, "alpha"))
+
+
+def test_cost_model_routes_by_selectivity(spark, index):
+    """Lucene-style docFreq planning: a stop-word-class term (appears in
+    every doc — candidates >> max_candidate_frac) must skip the candidate
+    join and use the prefiltered scan; a selective term must use it."""
+    eng = index.engine(max_candidate_frac=0.1)
+    # 'alpha' is in all 40 docs -> est = corpus -> scan route (no semi join)
+    plan_common = (
+        eng.mentions("alpha")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in plan_common
+    # 'quick' is in 8/40 docs (20%) -> under a generous frac -> join route
+    eng_loose = index.engine(max_candidate_frac=0.5)
+    plan_rare = (
+        eng_loose.mentions("quick")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan_rare
+    # df estimates themselves
+    assert index.estimated_candidates(pf.PFTerm("norm", "alpha")) == 40
+    assert index.estimated_candidates(pf.PFTerm("norm", "quick")) == 8
+    assert index.estimated_candidates(
+        pf.pf_and([pf.PFTerm("norm", "alpha"), pf.PFTerm("norm", "quick")])
+    ) == 8
+    assert index.estimated_candidates(
+        pf.pf_or([pf.PFTerm("norm", "alpha"), pf.PFTerm("norm", "quick")])
+    ) == 48
+    assert index.estimated_candidates(pf.PFTrue()) is None

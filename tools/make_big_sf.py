@@ -97,10 +97,16 @@ def main():
     # stride by max_id + 1, not row count: sparse or non-0-based ids would
     # otherwise collide across copies
     doc_stride = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    # repartition BEFORE the mutation: the source is one small file, so the
+    # cross join inherits a single partition and the per-token mutation UDF
+    # would otherwise run as one task regardless of replication factor
+    # (observed: ×1000 pinned one core for >5 min while 31 idled)
+    n_parts = max(32, min(256, n * n_docs // 50000))
     big_docs = (
         docs.crossJoin(copies)
         .withColumn("_orig_id", F.col("doc_id"))
         .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * doc_stride)
+        .repartition(n_parts)
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
