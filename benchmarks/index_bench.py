@@ -32,7 +32,13 @@ def main():
     from odinson_spark.search import SearchEngine
     from odinson_spark.session import get_spark
 
-    spark = get_spark(app_name="index-bench")
+    # larger heap: the index build shuffles the full tokenized sentence
+    # table (repartition on doc_bucket before the partitioned write); at
+    # ×1000 the default 8g heap produced a dead python-writer thread and a
+    # wedged PythonRunner read
+    spark = get_spark(
+        app_name="index-bench", extra_conf={"spark.driver.memory": "24g"}
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     plain_path = os.path.join(base, "sent_plain")
@@ -78,7 +84,8 @@ def main():
         .count()
         .orderBy("count", "t")
     )
-    rare = freqs.first()["t"]
+    marker_toks = ("needleword", "prefix", "suffix")
+    rare = freqs.filter(~F.col("t").isin(*marker_toks)).first()["t"]
     common = freqs.orderBy(F.desc("count"), F.asc("t")).first()["t"]
     print(f"rare term: {rare!r}, common term: {common!r}")
 
@@ -118,10 +125,37 @@ def main():
     for case in counts:
         assert counts[case]["scan"] == counts[case]["index"], (case, counts[case])
 
+    # Pruning effectiveness (the at-scale story, independent of this host's
+    # page cache): sentence rows the index route admits into the scan —
+    # candidate doc_bucket partitions via DPP — vs the full corpus the scan
+    # route must read. At 100 TB this ratio, not same-host wall clock over a
+    # RAM-resident corpus, is what the posting index buys: I/O proportional
+    # to matches, not corpus.
+    from odinson_spark.plans import prefilter as pf
+
+    corpus_rows = ieng.index.sentences.count()
+    pruning = {}
+    for label, term in (("selective", marker), ("rare", rare)):
+        keys = ieng.index.candidate_keys(pf.PFTerm("norm", term))
+        n_keys = keys.count()
+        buckets = [r["doc_bucket"] for r in keys.select("doc_bucket").distinct().collect()]
+        admitted = ieng.index.sentences.filter(
+            F.col("doc_bucket").isin(buckets)
+        ).count()
+        est = ieng.index.estimated_candidates(pf.PFTerm("norm", term))
+        pruning[label] = {
+            "df_estimate": est,
+            "candidate_keys": n_keys,
+            "rows_admitted_by_dpp": admitted,
+            "corpus_rows": corpus_rows,
+            "admitted_frac": round(admitted / corpus_rows, 5),
+        }
+
     out = {
         "sf_dir": sf_dir,
         "build_plain_sec": round(t_plain, 3),
         "build_index_sec": round(t_index_build, 3),
+        "pruning": pruning,
         "cases": {
             c: {
                 "scan_sec": round(v["scan"], 3),

@@ -135,18 +135,33 @@ class TermIndex:
         sentences: DataFrame,
         path: str,
         n_term_buckets: int = 64,
-        n_doc_buckets: int = 32,
+        n_doc_buckets: Optional[int] = None,
         indexed_columns: Sequence[str] = DEFAULT_INDEXED_COLUMNS,
     ) -> "TermIndex":
         cols = [c for c in indexed_columns if c in sentences.columns]
+        n_rows = sentences.count()
+        if n_doc_buckets is None:
+            # Derived, not fixed: dynamic partition pruning is BUCKET-
+            # granular, and uniformly-hashed candidate docs touch ~min(k,
+            # n_buckets) buckets — k selective matches admit ~k/n_buckets of
+            # the corpus. Too few buckets neuters pruning (measured: 20
+            # candidates × 32 buckets admitted 62.5% of a 5M-row corpus);
+            # too many makes kilobyte files at small scale. ~5k sentences
+            # per bucket keeps both ends sane from test corpora to 100 TB
+            # (where the 65536 cap ≈ listing cost, and row groups inside a
+            # bucket still skip on the sorted term column).
+            n_doc_buckets = max(8, min(65536, n_rows // 5000 or 8))
         # gen = write generation (Lucene's sequence number): lets a delete
         # tombstone doc versions written BEFORE it without hiding a later
         # re-add of the same doc_id (see delete_documents/live_sentences)
         with_bucket = sentences.withColumn(
             "doc_bucket", _bucket(F.col("doc_id"), n_doc_buckets)
         ).withColumn("gen", F.lit(0).cast("long"))
+        # repartition on the bucket first: partitionBy alone writes one file
+        # per (task × bucket) — tasks × n_doc_buckets kilobyte files
         (
-            with_bucket.write.mode("overwrite")
+            with_bucket.repartition("doc_bucket")
+            .write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(os.path.join(path, "sentences"))
         )
@@ -180,13 +195,12 @@ class TermIndex:
             .parquet(os.path.join(path, "stats"))
         )
 
-        n_sentences = spark.read.parquet(os.path.join(path, "sentences")).count()
         meta = {
             "n_term_buckets": n_term_buckets,
             "n_doc_buckets": n_doc_buckets,
             "indexed_columns": cols,
             "next_gen": 1,
-            "n_sentences": n_sentences,
+            "n_sentences": n_rows,
         }
         # driver-side metadata file, like a table format's own manifest
         with open(os.path.join(path, _META_FILE), "w") as f:
@@ -253,7 +267,8 @@ class TermIndex:
             "doc_bucket", _bucket(F.col("doc_id"), self.n_doc_buckets)
         ).withColumn("gen", F.lit(gen).cast("long"))
         (
-            with_bucket.write.mode("append")
+            with_bucket.repartition("doc_bucket")
+            .write.mode("append")
             .partitionBy("doc_bucket")
             .parquet(os.path.join(self.path, "sentences"))
         )
