@@ -687,7 +687,7 @@ rules:
 
     q["stream_extract_eq"] = stream_extract_eq
 
-    def _idx_spans(s, d, pattern: str):
+    def _idx_spans(s, d, pattern: str, **eng_kwargs):
         """Materialized-index query path (odinson_spark/index.py — the
         Spark analogue of the reference's prebuilt Lucene index,
         lucene/index/OdinsonIndexWriter.scala:113-205): tokenize → write
@@ -704,7 +704,7 @@ rules:
             tokenize_documents(_t(s, d, "documents")), tmp, n_term_buckets=16, n_doc_buckets=8
         )
         return (
-            idx.engine()
+            idx.engine(**eng_kwargs)
             .mentions(pattern)
             .select(
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -717,6 +717,20 @@ rules:
 
     q["idx_term"] = lambda s, d: _idx_spans(s, d, "fast")
     q["idx_conj"] = lambda s, d: _idx_spans(s, d, "fast table")
+    # multi-term rewrite path (index.py _expand_multi_term — Lucene's
+    # RegexpQuery/FuzzyQuery rewrite against the terms enum):
+    # max_candidate_frac=1.0 forces the candidate join so the gate exercises
+    # the dictionary expansion itself, not the cost-model scan fallback
+    q["idx_regex"] = lambda s, d: _idx_spans(
+        s, d, "[norm=/qu.*/]", max_candidate_frac=1.0
+    )
+    q["idx_fuzzy"] = lambda s, d: _idx_spans(s, d, "fast~", max_candidate_frac=1.0)
+    # positional-postings path (index.py PFPhrase — Lucene SpanNearQuery
+    # parity): anchors at offsets 0 and 2 with a wildcard gap, so the index
+    # must intersect position lists, not just per-sentence key sets
+    q["idx_phrase_gap"] = lambda s, d: _idx_spans(
+        s, d, "fast [] table", max_candidate_frac=1.0
+    )
 
     def _q_idx_incremental(s, d):
         """Live-index lifecycle (index.py add/delete/update — reference
@@ -812,6 +826,21 @@ WHERE a.tok = 'key' AND b.tok <> 'key'
     )
     o["pat_regex"] = spans("regexp_full_match(tok, 'qu.*')")
     o["pat_fuzzy"] = spans("levenshtein(tok, 'fast') <= 2")
+    # index multi-term rewrite ≡ scan path: same oracles as the pat_* twins
+    o["idx_regex"] = o["pat_regex"]
+    o["idx_fuzzy"] = o["pat_fuzzy"]
+    # gapped phrase: anchors at pos and pos+2, any token between
+    o["idx_phrase_gap"] = spans(
+        """
+SELECT a.doc_id, a.pos AS mstart, (a.pos + 3)::INT AS mend,
+       a.tok || ' ' || m.tok || ' ' || b.tok AS mtext
+FROM toks a
+JOIN toks m ON a.doc_id = m.doc_id AND m.pos = a.pos + 1
+JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+WHERE a.tok = 'fast' AND b.tok = 'table'
+""",
+        body=True,
+    )
     o["custom_field"] = spans(
         "len(tok) % 2 = 1 AND regexp_full_match(tok, 's.*')"
     )

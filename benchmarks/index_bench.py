@@ -105,6 +105,13 @@ def main():
         "conj_first_page": ("page", f"{common} []"),
         "rare_exhaustive": ("count", rare),
         "conj_exhaustive": ("count", f"{rare} {common}"),
+        # multi-term rewrite: the regex expands against the term dictionary
+        # (stats table) to just the marker, then runs as a postings lookup
+        "regex_exhaustive": ("count", f"[norm=/{marker[:6]}.*/]"),
+        "fuzzy_exhaustive": ("count", f"{marker}~"),
+        # positional phrase: anchors at offsets 0 and 2 with a wildcard gap;
+        # the index intersects position lists, not just key sets
+        "phrase_gap_exhaustive": ("count", f"prefix [] suffix"),
     }
     results: dict[str, dict[str, float]] = {k: {} for k in cases}
     counts: dict[str, dict[str, int]] = {k: {} for k in cases}
@@ -149,6 +156,29 @@ def main():
             "rows_admitted_by_dpp": admitted,
             "corpus_rows": corpus_rows,
             "admitted_frac": round(admitted / corpus_rows, 5),
+        }
+
+    # positional-postings payoff: the same two common terms as a key-AND
+    # (co-occurrence) vs a PFPhrase (adjacency) — the gap between the two
+    # candidate counts is exactly what SpanNearQuery-style position
+    # intersection prunes beyond Boolean postings
+    two = [
+        r["t"]
+        for r in freqs.orderBy(F.desc("count"), F.asc("t")).limit(2).collect()
+    ]
+    if len(two) == 2:
+        a_t, b_t = two
+        n_and = ieng.index.candidate_keys(
+            pf.pf_and([pf.PFTerm("norm", a_t), pf.PFTerm("norm", b_t)])
+        ).count()
+        n_phrase = ieng.index.candidate_keys(
+            pf.PFPhrase(((0, "norm", a_t), (1, "norm", b_t)))
+        ).count()
+        pruning["phrase_vs_and_common_pair"] = {
+            "terms": [a_t, b_t],
+            "cooccurrence_keys": n_and,
+            "adjacency_keys": n_phrase,
+            "positional_prune_frac": round(1 - n_phrase / n_and, 5) if n_and else None,
         }
 
     out = {

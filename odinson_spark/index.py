@@ -30,11 +30,16 @@ sentence table, then the normal boolean prefilter + NFA matcher run
 unchanged, so index-path results are identical to scan-path results
 (asserted by tests/test_index.py and the idx_term/idx_conj gates).
 
+Regex and fuzzy leaves are rewritten against the term dictionary (the stats
+table) before the postings lookup — Lucene's MultiTermQuery rewrite — with a
+``max_expansions`` cap past which the scan plan is used instead
+(``_expand_multi_term``). Truly unconstrained patterns (pure wildcards) fall
+back to the full scan explicitly.
+
 At 100 TB: the postings table is ~tokens-distinct-per-sentence rows, one
 shuffle to bucket it at build time; a selective interactive query then reads
 a handful of postings row groups + only the sentence partitions containing
-candidates, instead of the full corpus. Unconstrained patterns (pure
-wildcards/regex) fall back to the full scan explicitly.
+candidates, instead of the full corpus.
 """
 
 from __future__ import annotations
@@ -43,6 +48,8 @@ import json
 import os
 import zlib
 from typing import Optional, Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,34 +86,97 @@ def doc_bucket_of(doc_id: str, n: int) -> int:
     return zlib.crc32(str(doc_id).encode()) % n
 
 
+def _shift_by(off: int):
+    """One-arg transform callback factory (a two-arg lambda would have its
+    second parameter bound to the element index by F.transform)."""
+    return lambda x: x - F.lit(off)
+
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+_REGEX_QUANT = set("*+?{")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex — a NECESSARY ``startswith`` for
+    any fullmatch, used to prune the term dictionary JVM-side before the
+    exact Python predicate runs (Lucene's PrefixQuery-shaped terms-enum
+    seek). A literal whose NEXT char is a quantifier is excluded (it may
+    match zero times); any metacharacter ends the prefix."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in _REGEX_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in _REGEX_QUANT:
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _postings_of(with_bucket: DataFrame, cols: Sequence[str], n_term_buckets: int) -> DataFrame:
-    """One scan → distinct (field, term) per sentence, exploded flat.
-    HOFs are interpreted (SCALE.md) but this is the build path and per-row
-    work is O(tokens); the scan reads only the indexed columns."""
+    """One scan → one row per distinct (field, term) per sentence, carrying
+    the term's token POSITIONS for single-valued layers (Lucene stores
+    positions in its postings for exactly this purpose — SpanNearQuery).
+    Flat sentence-level label sets (incoming_flat/outgoing_flat) post with
+    null positions: they prune existence, not adjacency.
 
-    def _field_structs(c: str):
-        # NB: the lambda must take exactly one arg — a second arg would be
-        # bound to the element INDEX by F.transform
-        return F.transform(
-            F.array_distinct(F.coalesce(F.col(c), F.array().cast("array<string>"))),
-            lambda t: F.struct(F.lit(c).alias("field"), t.alias("term")),
-        )
+    Arrow-batched mapInPandas, the repo's fan-out pattern: interpreted HOFs
+    can't build position lists, and this is the build path where per-row
+    work is O(tokens) — scan-dominated either way."""
+    from pyspark.sql import types as T
 
-    return (
-        with_bucket.select(
-            "doc_bucket",
-            "doc_id",
-            "sent_id",
-            F.explode(F.flatten(F.array(*[_field_structs(c) for c in cols]))).alias("ft"),
-        )
-        .select(
-            F.col("ft.field").alias("field"),
-            F.col("ft.term").alias("term"),
-            "doc_bucket",
-            "doc_id",
-            "sent_id",
-        )
-        .withColumn("tbucket", _bucket(F.col("term"), n_term_buckets))
+    flat = {c for c in cols if c.endswith("_flat")}
+    src = with_bucket.select("doc_bucket", "doc_id", "sent_id", *cols)
+    schema = T.StructType(
+        [
+            T.StructField("field", T.StringType()),
+            T.StructField("term", T.StringType()),
+            src.schema["doc_bucket"],
+            src.schema["doc_id"],
+            src.schema["sent_id"],
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    col_list = list(cols)
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("field", "term", "doc_bucket", "doc_id", "sent_id", "positions")}
+            for db, did, sid, *layers in zip(
+                pdf["doc_bucket"], pdf["doc_id"], pdf["sent_id"], *[pdf[c] for c in col_list]
+            ):
+                for c, arr in zip(col_list, layers):
+                    if arr is None:
+                        continue
+                    if c in flat:
+                        for t_ in set(arr):
+                            if t_ is None:
+                                continue
+                            out["field"].append(c)
+                            out["term"].append(t_)
+                            out["doc_bucket"].append(db)
+                            out["doc_id"].append(did)
+                            out["sent_id"].append(sid)
+                            out["positions"].append(None)
+                    else:
+                        by_term: dict = {}
+                        for pos, v in enumerate(arr):
+                            if v is None:
+                                continue
+                            by_term.setdefault(v, []).append(pos)
+                        for t_, ps in by_term.items():
+                            out["field"].append(c)
+                            out["term"].append(t_)
+                            out["doc_bucket"].append(db)
+                            out["doc_id"].append(did)
+                            out["sent_id"].append(sid)
+                            out["positions"].append(ps)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema).withColumn(
+        "tbucket", _bucket(F.col("term"), n_term_buckets)
     )
 
 
@@ -127,6 +197,9 @@ class TermIndex:
         self.stats = (
             spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
         )
+        # per-query-lifetime memo of multi-term expansions: the engine asks
+        # for the estimate and then the keys of the same leaf
+        self._mt_cache: dict = {}
 
     # -- build --------------------------------------------------------------
 
@@ -369,10 +442,118 @@ class TermIndex:
             self.spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
         )
         self.n_sentences = self.meta.get("n_sentences")
+        # the term dictionary may have grown/shrunk: drop memoized expansions
+        self._mt_cache = {}
 
     # -- candidate generation ----------------------------------------------
 
     _KEYS = ["doc_bucket", "doc_id", "sent_id"]
+
+    def _expand_multi_term(
+        self, fields: Sequence[str], kind: str, value: str, max_expansions: int
+    ):
+        """Rewrite a regex/fuzzy leaf against the term dictionary — Lucene's
+        MultiTermQuery rewrite (the terms-enum ∩ automaton walk behind the
+        reference's RegexpQuery/FuzzyQuery). The stats table IS the term
+        dictionary: one row per distinct (field, term), orders of magnitude
+        smaller than the corpus.
+
+        Returns (matched_terms, df_upper_bound), or None when the expansion
+        exceeds ``max_expansions`` (the caller falls back to the scan plan,
+        which is sound and — for a pattern matching that much of the
+        vocabulary — usually also cheaper, the same reasoning as Lucene's
+        rewrite-method clause limits).
+
+        The predicate is the matcher's own (match/context.py _vocab_pred):
+        Python ``re.fullmatch`` / edit-distance ≤ 2 over vocab entries, run
+        Arrow-batched over the distributed stats table — never a Java-regex
+        approximation, so index-path results stay bit-identical to the scan
+        path. JVM-side necessary conditions (length window for fuzzy,
+        literal-prefix for regex) prune the dictionary before Python sees it.
+        """
+        key = (tuple(fields), kind, value, max_expansions)
+        cached = self._mt_cache.get(key, False)
+        if cached is not False:
+            return cached
+        out = None
+        if self.stats is not None:
+            from pyspark.sql.functions import pandas_udf
+
+            cand = self.stats.filter(F.col("field").isin(list(fields)))
+            if kind == "fuzzy":
+                # |len(t) - len(q)| <= 2 is necessary for edit distance <= 2
+                n = len(value)
+                cand = cand.filter(F.length("term").between(n - 2, n + 2))
+                q = value
+
+                @pandas_udf("boolean")
+                def _pred(terms: pd.Series) -> pd.Series:
+                    # absolute import: the closure is shipped by value to
+                    # workers, where a relative import has no package context
+                    from odinson_spark.match.context import _edit_distance_le2
+
+                    return terms.map(
+                        lambda t: t is not None and _edit_distance_le2(q, t)
+                    )
+
+            elif kind == "regex":
+                prefix = _literal_prefix(value)
+                if prefix:
+                    cand = cand.filter(F.col("term").startswith(prefix))
+                pat = value
+
+                @pandas_udf("boolean")
+                def _pred(terms: pd.Series) -> pd.Series:
+                    import re
+
+                    rx = re.compile(pat)
+                    return terms.map(
+                        lambda t: t is not None and rx.fullmatch(t) is not None
+                    )
+
+            else:  # pragma: no cover - parser emits only the two kinds
+                raise ValueError(f"unknown multi-term kind {kind!r}")
+            matched = (
+                cand.filter(_pred(F.col("term")))
+                # append() writes per-batch stats rows: same term, many rows
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+            )
+            rows = matched.limit(max_expansions + 1).collect()
+            if len(rows) <= max_expansions:
+                out = (
+                    [r["term"] for r in rows],
+                    int(sum(int(r["df"]) for r in rows)),
+                )
+        self._mt_cache[key] = out
+        return out
+
+    def _multi_term_fields(self, field: str) -> Optional[list]:
+        col = pf._FIELD_TO_COLUMN.get(field, field)
+        if col not in self.indexed_columns:
+            return None
+        fields = [col]
+        if field == "norm" and "norm_alt" in self.indexed_columns:
+            fields.append("norm_alt")
+        return fields
+
+    def _term_positions(self, fields: Sequence[str], term: str) -> DataFrame:
+        """Pruned postings lookup keeping the position lists. The synonym
+        union (norm ∪ norm_alt) merges per-key position lists, since a token
+        matches the term through EITHER layer."""
+        tb = zlib.crc32(term.encode()) % self.n_term_buckets
+        df = self.postings.filter(
+            (F.col("tbucket") == tb)
+            & (F.col("term") == term)
+            & F.col("field").isin(list(fields))
+        )
+        if len(fields) == 1:
+            return df.select(*self._KEYS, "positions")
+        return df.groupBy(*self._KEYS).agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
 
     def _term_keys(self, fields: Sequence[str], term: str) -> DataFrame:
         """Pruned postings lookup: partition filter on tbucket + equality on
@@ -411,7 +592,7 @@ class TermIndex:
         )
         return int(rows[0] or 0)
 
-    def estimated_candidates(self, tree) -> Optional[int]:
+    def estimated_candidates(self, tree, max_expansions: int = 1024) -> Optional[int]:
         """Upper-bound candidate-key count for the prefilter tree, from
         per-term document frequencies. None = unbounded (the tree has an
         unconstrained arm or stats are absent). AND takes the tightest arm;
@@ -421,36 +602,49 @@ class TermIndex:
         if t is pf.PFFalse:
             return 0
         if t is pf.PFTerm:
-            col = pf._FIELD_TO_COLUMN.get(tree.field, tree.field)
-            if col not in self.indexed_columns:
+            fields = self._multi_term_fields(tree.field)
+            if fields is None:
                 return None
-            fields = [col]
-            if tree.field == "norm" and "norm_alt" in self.indexed_columns:
-                fields.append("norm_alt")
             return self._term_df(fields, tree.value)
+        if t is pf.PFMultiTerm:
+            fields = self._multi_term_fields(tree.field)
+            if fields is None:
+                return None
+            exp = self._expand_multi_term(fields, tree.kind, tree.value, max_expansions)
+            return None if exp is None else exp[1]
+        if t is pf.PFPhrase:
+            ests = []
+            for _, field, value in tree.anchors:
+                fields = self._multi_term_fields(field)
+                if fields is not None:
+                    e = self._term_df(fields, value)
+                    if e is not None:
+                        ests.append(e)
+            # positional intersection can only shrink the tightest anchor
+            return min(ests) if ests else None
         if t is pf.PFEdge:
             if "outgoing_flat" not in self.indexed_columns:
                 return None
             return self._term_df(["outgoing_flat"], tree.label)
         if t is pf.PFAnd:
-            ests = [self.estimated_candidates(s) for s in tree.subs]
+            ests = [self.estimated_candidates(s, max_expansions) for s in tree.subs]
             ests = [e for e in ests if e is not None]
             return min(ests) if ests else None
         if t is pf.PFOr:
-            ests = [self.estimated_candidates(s) for s in tree.subs]
+            ests = [self.estimated_candidates(s, max_expansions) for s in tree.subs]
             if not ests or any(e is None for e in ests):
                 return None
             return sum(ests)
         return None
 
-    def candidate_keys(self, tree) -> Optional[DataFrame]:
+    def candidate_keys(self, tree, max_expansions: int = 1024) -> Optional[DataFrame]:
         """Sentence keys possibly matching the prefilter tree.
 
-        Returns None when the tree cannot bound the result (PFTrue, a regex
-        /fuzzy leaf, an OR with an unconstrained arm, or a field this index
-        did not invert) — the caller then falls back to the full scan.
-        Soundness mirrors plans/prefilter.py: the keys are a NECESSARY
-        condition, never a filter that could drop a true match.
+        Returns None when the tree cannot bound the result (PFTrue, an
+        over-cap multi-term expansion, an OR with an unconstrained arm, or a
+        field this index did not invert) — the caller then falls back to the
+        full scan. Soundness mirrors plans/prefilter.py: the keys are a
+        NECESSARY condition, never a filter that could drop a true match.
         """
         t = type(tree)
         if t is pf.PFTrue:
@@ -458,21 +652,78 @@ class TermIndex:
         if t is pf.PFFalse:
             return self.postings.select(*self._KEYS).limit(0)
         if t is pf.PFTerm:
-            col = pf._FIELD_TO_COLUMN.get(tree.field, tree.field)
-            if col not in self.indexed_columns:
-                return None
-            fields = [col]
             # synonym union: [norm=x] matches via norm OR norm_alt
             # (plans/prefilter.py to_spark_column renders the same union)
-            if tree.field == "norm" and "norm_alt" in self.indexed_columns:
-                fields.append("norm_alt")
+            fields = self._multi_term_fields(tree.field)
+            if fields is None:
+                return None
             return self._term_keys(fields, tree.value)
+        if t is pf.PFMultiTerm:
+            fields = self._multi_term_fields(tree.field)
+            if fields is None:
+                return None
+            exp = self._expand_multi_term(fields, tree.kind, tree.value, max_expansions)
+            if exp is None:
+                return None
+            terms = exp[0]
+            if not terms:
+                return self.postings.select(*self._KEYS).limit(0)
+            # the matched terms' buckets are computable driver-side, so the
+            # lookup still prunes tbucket partition directories; the isin
+            # literals compile to an InSet, fully codegen
+            tbs = sorted({zlib.crc32(t_.encode()) % self.n_term_buckets for t_ in terms})
+            return (
+                self.postings.filter(
+                    F.col("tbucket").isin(tbs)
+                    & F.col("field").isin(list(fields))
+                    & F.col("term").isin(terms)
+                )
+                .select(*self._KEYS)
+                .dropDuplicates(self._KEYS)
+            )
+        if t is pf.PFPhrase:
+            # Lucene SpanNearQuery(slop=0, inOrder): intersect per-anchor
+            # position lists shifted to a common base. Each anchor lookup is
+            # the same pruned postings seek as a term; the join chain runs
+            # over candidate keys only, and the (interpreted-HOF) position
+            # arithmetic touches arrays of a few ints on those rows alone.
+            if "positions" not in self.postings.columns:
+                # index built before positions existed: degrade to the
+                # sound key-intersection of the anchor terms
+                return self.candidate_keys(
+                    pf.pf_and([pf.PFTerm(f, v) for _, f, v in tree.anchors]),
+                    max_expansions,
+                )
+            out = None
+            for i, (off, field, value) in enumerate(tree.anchors):
+                fields = self._multi_term_fields(field)
+                if fields is None:
+                    continue  # un-indexed layer: skip the anchor (sound)
+                pcol = f"_p{i}"
+                # NB: the transform lambda must take exactly ONE arg — a
+                # second (even defaulted) arg is bound to the element INDEX
+                cur = (
+                    self._term_positions(fields, value)
+                    .withColumn(pcol, F.transform("positions", _shift_by(off)))
+                    .drop("positions")
+                )
+                if out is None:
+                    out = cur.withColumnRenamed(pcol, "_base")
+                else:
+                    out = (
+                        out.join(cur, on=self._KEYS, how="inner")
+                        .withColumn("_base", F.array_intersect("_base", pcol))
+                        .drop(pcol)
+                    )
+            if out is None:
+                return None
+            return out.filter(F.size("_base") > 0).select(*self._KEYS)
         if t is pf.PFEdge:
             if "outgoing_flat" not in self.indexed_columns:
                 return None
             return self._term_keys(["outgoing_flat"], tree.label)
         if t is pf.PFAnd:
-            subs = [self.candidate_keys(s) for s in tree.subs]
+            subs = [self.candidate_keys(s, max_expansions) for s in tree.subs]
             subs = [s for s in subs if s is not None]
             if not subs:
                 return None
@@ -481,7 +732,7 @@ class TermIndex:
                 out = out.join(s, on=self._KEYS, how="inner")
             return out
         if t is pf.PFOr:
-            subs = [self.candidate_keys(s) for s in tree.subs]
+            subs = [self.candidate_keys(s, max_expansions) for s in tree.subs]
             if any(s is None for s in subs) or not subs:
                 return None
             out = subs[0]
@@ -508,6 +759,7 @@ class IndexedSearchEngine(SearchEngine):
         index: TermIndex,
         broadcast_candidates: bool = True,
         max_candidate_frac: float = 0.1,
+        max_expansions: int = 1024,
         **kwargs,
     ):
         # live view: appended files visible, tombstoned docs filtered. A new
@@ -517,6 +769,9 @@ class IndexedSearchEngine(SearchEngine):
         self.index = index
         self.broadcast_candidates = broadcast_candidates
         self.max_candidate_frac = max_candidate_frac
+        # Lucene caps multi-term rewrites (maxExpansions / maxClauseCount);
+        # past the cap the scan plan is both sound and usually cheaper
+        self.max_expansions = max_expansions
 
     def _prefilter_sentences(self, sents, extractors):
         from .pipeline.extract import combined_prefilter
@@ -527,14 +782,14 @@ class IndexedSearchEngine(SearchEngine):
         # corpus, the posting lookup + key join costs more than it prunes —
         # the boolean-prefiltered scan IS the cheaper plan. The estimate is
         # a pruned read of the tiny stats table, paid once per query.
-        est = self.index.estimated_candidates(tree)
+        est = self.index.estimated_candidates(tree, self.max_expansions)
         if (
             est is not None
             and self.index.n_sentences
             and est > self.max_candidate_frac * int(self.index.n_sentences)
         ):
             return apply_prefilter(sents, extractors)
-        cand = self.index.candidate_keys(tree)
+        cand = self.index.candidate_keys(tree, self.max_expansions)
         if cand is not None:
             on = [k for k in TermIndex._KEYS if k in sents.columns]
             cand = cand.select(*on)

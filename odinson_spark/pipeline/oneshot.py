@@ -64,6 +64,14 @@ def text_prefilter_column(pf) -> "F.Column":
         return F.lit(True)
     if isinstance(pf, pfmod.PFEdge):
         return F.lit(True)
+    if isinstance(pf, pfmod.PFMultiTerm):
+        # regex/fuzzy: no necessary substring exists in general
+        return F.lit(True)
+    if isinstance(pf, pfmod.PFPhrase):
+        # adjacency over TOKENS has no necessary raw-text substring
+        # (tokenization may insert/normalize); term containment is already
+        # carried by the sibling PFTerm conjuncts
+        return F.lit(True)
     if isinstance(pf, pfmod.PFAnd):
         col = text_prefilter_column(pf.subs[0])
         for s in pf.subs[1:]:

@@ -55,6 +55,47 @@ class PFEdge:
 
 
 @dataclass(frozen=True)
+class PFMultiTerm:
+    """A regex or fuzzy leaf — unconstrained for the boolean SCAN prefilter
+    (rendered TRUE; a per-token regex would be an interpreted HOF in the hot
+    path), but the materialized index rewrites it against its term
+    dictionary, the way Lucene rewrites MultiTermQuery/FuzzyQuery by
+    intersecting the automaton with the terms enum
+    (lucene/search/MultiTermQuery rewrite; reference queries compile to
+    RegexpQuery/FuzzyQuery in compiler/QueryCompiler.scala).
+
+    ``value`` is already normalized exactly as the matcher normalizes it
+    (match/context.py _vocab_pred): fuzzy terms aggressively on the default
+    field, plain elsewhere; regex patterns with normalize_unicode.
+    """
+
+    field: str
+    kind: str  # "regex" | "fuzzy"
+    value: str
+
+
+@dataclass(frozen=True)
+class PFPhrase:
+    """Positional co-occurrence: literal terms at FIXED token offsets inside
+    one fixed-width window — the prefilter rendering of Lucene's
+    SpanNearQuery(slop=0, inOrder=true), which the reference compiles
+    concatenations into (compiler/QueryCompiler.scala OdinConcatQuery →
+    span-near). The boolean scan prefilter renders this TRUE (per-term
+    containment is already covered by the accompanying PFTerm conjuncts);
+    the materialized index intersects per-term position lists instead of
+    just per-sentence key sets, so "fast table" prunes sentences that
+    contain both words far apart.
+
+    ``anchors``: ((offset, field, value), ...) with offsets non-decreasing;
+    a sentence can match only if for some base position p every anchor's
+    term occurs at p + offset. At least 2 entries with ≥2 distinct offsets
+    (fewer degenerates to PFTerm/PFAnd, which pf_and already carries).
+    """
+
+    anchors: Tuple[Tuple[int, str, str], ...]
+
+
+@dataclass(frozen=True)
 class PFAnd:
     subs: Tuple[object, ...]
 
@@ -107,12 +148,20 @@ def pf_or(subs) -> object:
 
 def _mask_pf(expr, default_field: str) -> object:
     if isinstance(expr, prog.LeafMask):
-        if expr.fuzzy or not isinstance(expr.matcher, ast.StringMatcher):
+        if isinstance(expr.matcher, ast.RegexMatcher):
+            # the matcher ignores the fuzzy flag on regex leaves
+            # (match/context.py _vocab_pred), so a single node suffices
+            return PFMultiTerm(
+                expr.field, "regex", normalize_unicode(expr.matcher.pattern)
+            )
+        if not isinstance(expr.matcher, ast.StringMatcher):
             return PFTrue()
         if expr.field == default_field:
             term = normalize_unicode_aggressively(expr.matcher.string)
         else:
             term = normalize_unicode(expr.matcher.string)
+        if expr.fuzzy:
+            return PFMultiTerm(expr.field, "fuzzy", term)
         return PFTerm(expr.field, term)
     if isinstance(expr, prog.AndMask):
         return pf_and([_mask_pf(s, default_field) for s in expr.subs])
@@ -120,7 +169,7 @@ def _mask_pf(expr, default_field: str) -> object:
         return pf_or([_mask_pf(s, default_field) for s in expr.subs])
     if isinstance(expr, prog.FalseMask):
         return PFFalse()
-    # NotMask / TrueMask / regex — unconstrained
+    # NotMask / TrueMask — unconstrained
     return PFTrue()
 
 
@@ -135,6 +184,83 @@ def _traversal_pf(tr) -> object:
     if t is ast.DisjunctiveTraversal:
         return pf_or([_traversal_pf(s) for s in tr.traversals])
     return PFTrue()  # wildcards, optional, kleene star, no-traversal
+
+
+def _prog_width(p) -> object:
+    """Exact token width of a program fragment, or None when variable.
+    Mirrors the NFA's consumption (match/program.py gen methods)."""
+    t = type(p)
+    if t is prog.PToken:
+        return 1
+    if t is prog.PAllNGrams:  # []{n} — exact-width wildcard run
+        return p.n
+    if t in (prog.PSentenceStart, prog.PSentenceEnd, prog.PLookahead, prog.PLookbehind):
+        return 0
+    if t is prog.PNamedCapture or t is prog.PFilter:
+        return _prog_width(p.sub if t is prog.PNamedCapture else p.main)
+    if t is prog.PConcat:
+        ws = [_prog_width(c) for c in p.clauses]
+        return None if any(w is None for w in ws) else sum(ws)
+    if t is prog.POr:
+        ws = {_prog_width(c) for c in p.clauses}
+        return ws.pop() if len(ws) == 1 and None not in ws else None
+    if t is prog.PRepeat:
+        w = _prog_width(p.sub)
+        if w is not None and p.max is not None and p.min == p.max:
+            return w * p.min
+        return None
+    return None  # POptional, PExpand, PGraphTraversal, PAllNGrams, PEvent, …
+
+
+def _anchors_of(p, default_field: str, base: int) -> List[Tuple[int, str, str]]:
+    """Literal (offset, field, value) anchors of a KNOWN-width fragment.
+    Only single-valued token layers anchor positions — incoming/outgoing
+    live as sentence-level flat sets in the index, positionless."""
+    t = type(p)
+    if t is prog.PToken:
+        m = _mask_pf(p.expr, default_field)
+        subs = m.subs if isinstance(m, PFAnd) else (m,)
+        return [
+            (base, s.field, s.value)
+            for s in subs
+            if isinstance(s, PFTerm) and s.field not in ("incoming", "outgoing")
+        ]
+    if t is prog.PNamedCapture:
+        return _anchors_of(p.sub, default_field, base)
+    if t is prog.PConcat:
+        out: List[Tuple[int, str, str]] = []
+        off = base
+        for c in p.clauses:
+            out.extend(_anchors_of(c, default_field, off))
+            off += _prog_width(c)  # parent guaranteed width is known
+        return out
+    return []
+
+
+def _phrases_of(clauses, default_field: str) -> List[PFPhrase]:
+    """Maximal fixed-width runs of a concatenation → PFPhrase nodes.
+    A variable-width clause (quantifier, optional, expansion…) breaks the
+    run; anchors on either side of a KNOWN-width gap (wildcards, exact
+    quantifiers) stay in one phrase with the gap folded into offsets."""
+    phrases: List[PFPhrase] = []
+    run: List[Tuple[int, str, str]] = []
+    off = 0
+
+    def _flush():
+        if len({a[0] for a in run}) >= 2:
+            phrases.append(PFPhrase(tuple(run)))
+        run.clear()
+
+    for c in clauses:
+        w = _prog_width(c)
+        if w is None:
+            _flush()
+            off = 0
+            continue
+        run.extend(_anchors_of(c, default_field, off))
+        off += w
+    _flush()
+    return phrases
 
 
 def _ft_pf(ft, default_field: str) -> object:
@@ -158,7 +284,10 @@ def prefilter_of(p: prog.Prog, default_field: str = "norm") -> object:
     if t is prog.PFail:
         return PFFalse()
     if t is prog.PConcat:
-        return pf_and([prefilter_of(c, default_field) for c in p.clauses])
+        return pf_and(
+            [prefilter_of(c, default_field) for c in p.clauses]
+            + _phrases_of(p.clauses, default_field)
+        )
     if t is prog.POr:
         return pf_or([prefilter_of(c, default_field) for c in p.clauses])
     if t is prog.PRepeat:
@@ -220,6 +349,15 @@ def to_spark_column(pf, columns=None):
         return col
     if isinstance(pf, PFEdge):
         return F.array_contains(F.col("outgoing_flat"), pf.label)
+    if isinstance(pf, PFMultiTerm):
+        # sound but unconstrained on the scan path: a per-token regex/edit-
+        # distance test would be an interpreted HOF in the hot path; the
+        # materialized index consumes this node instead (index.py _expand)
+        return F.lit(True)
+    if isinstance(pf, PFPhrase):
+        # per-term containment is already carried by the sibling PFTerm
+        # conjuncts; positional intersection is the index's job
+        return F.lit(True)
     if isinstance(pf, PFAnd):
         col = to_spark_column(pf.subs[0], columns)
         for s in pf.subs[1:]:
@@ -247,6 +385,8 @@ def to_sql(pf, columns=None) -> str:
     if isinstance(pf, PFEdge):
         v = pf.label.replace("'", "''")
         return f"array_contains(outgoing_flat, '{v}')"
+    if isinstance(pf, (PFMultiTerm, PFPhrase)):
+        return "TRUE"
     if isinstance(pf, PFAnd):
         return "(" + " AND ".join(to_sql(s, columns) for s in pf.subs) + ")"
     if isinstance(pf, PFOr):

@@ -54,10 +54,13 @@ PATTERNS = [
     "quick sort",                # conjunction of terms (concat)
     "alpha | quick",             # union
     "key [!norm=key]",           # negation arm is unconstrained, term arm not
-    "[norm=/qu.*/]",             # regex — full-scan fallback
-    "fast~",                     # fuzzy — full-scan fallback
+    "[norm=/qu.*/]",             # regex — term-dictionary rewrite
+    "fast~",                     # fuzzy — term-dictionary rewrite
     "(?<c> [norm=fast]) >next []",  # traversal with edge prefilter
     "[] [norm=gamma]? fast",     # optional
+    "alpha beta",                # adjacent phrase — positional pruning
+    "alpha [] gamma",            # gapped phrase (fixed-width wildcard)
+    "quick sort gamma",          # 3-anchor phrase
 ]
 
 
@@ -187,6 +190,194 @@ class TestIncremental:
         assert len(hits) == 1  # exactly the new version's single 'fast'
         # old tokens of doc 0 are gone
         assert all(str(t[0]) != "0" for t in self._hits(inc, "alpha"))
+
+
+class TestMultiTermRewrite:
+    """Regex/fuzzy leaves rewritten against the term dictionary — Lucene's
+    MultiTermQuery rewrite (RegexpQuery/FuzzyQuery intersect an automaton
+    with the terms enum; here an Arrow-batched Python predicate over the
+    stats table, so index-path semantics are bit-identical to the matcher's
+    own vocab predicate in match/context.py _vocab_pred)."""
+
+    def test_regex_expansion_bounds_candidates(self, index):
+        node = pf.PFMultiTerm("norm", "regex", "qu.*")
+        keys = index.candidate_keys(node)
+        assert keys is not None
+        # 'quick' is the only qu.* vocab entry; docs with i%5==0 carry it
+        assert keys.count() == 8
+        assert index.estimated_candidates(node) == 8
+
+    def test_fuzzy_expansion_bounds_candidates(self, index):
+        # edit distance 1 from 'fast' — every doc contains 'fast'
+        node = pf.PFMultiTerm("norm", "fuzzy", "fastt")
+        keys = index.candidate_keys(node)
+        assert keys is not None and keys.count() == 40
+
+    def test_expansion_cap_falls_back_to_scan(self, index):
+        node = pf.PFMultiTerm("norm", "regex", ".*")
+        assert index.candidate_keys(node, max_expansions=2) is None
+        assert index.estimated_candidates(node, max_expansions=2) is None
+
+    def test_empty_expansion_is_empty_not_scan(self, index):
+        node = pf.PFMultiTerm("norm", "regex", "zzznothing.*")
+        keys = index.candidate_keys(node)
+        assert keys is not None and keys.count() == 0
+
+    def test_regex_query_takes_candidate_join_route(self, index, scan_engine):
+        eng = index.engine(max_candidate_frac=0.5)
+        df = eng.mentions("[norm=/qu.*/]")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan  # pruned by the expansion, not scanned
+        a = sorted(map(tuple, df.select("doc_id", "sent_id", "start", "end").collect()))
+        b = sorted(
+            map(
+                tuple,
+                scan_engine.mentions("[norm=/qu.*/]")
+                .select("doc_id", "sent_id", "start", "end")
+                .collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+    def test_mask_pf_emits_multi_term_nodes(self):
+        from odinson_spark.lang.rules import RuleReader
+
+        def tree_of(pattern):
+            exts, _ = RuleReader().compile_rules(
+                f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
+            )
+            return pf.prefilter_of(exts[0].program)
+
+        t = tree_of("[norm=/qu.*/]")
+        assert t == pf.PFMultiTerm("norm", "regex", "qu.*")
+        t = tree_of("fast~")
+        assert t == pf.PFMultiTerm("norm", "fuzzy", "fast")
+
+    def test_literal_prefix(self):
+        from odinson_spark.index import _literal_prefix
+
+        assert _literal_prefix("qu.*") == "qu"
+        assert _literal_prefix("quick") == "quick"
+        assert _literal_prefix("q+x") == ""
+        assert _literal_prefix(".*x") == ""
+        assert _literal_prefix("ab?c") == "a"
+        assert _literal_prefix("ab\\d") == "ab"
+        assert _literal_prefix("ab{2}") == "a"
+
+
+class TestPhrasePruning:
+    """Positional postings — Lucene SpanNearQuery(slop=0, inOrder) parity
+    (the reference compiles concatenations to span-near queries,
+    compiler/QueryCompiler.scala): the index intersects per-anchor position
+    lists, pruning sentences that contain the terms but not adjacently."""
+
+    def _tree(self, pattern):
+        from odinson_spark.lang.rules import RuleReader
+
+        exts, _ = RuleReader().compile_rules(
+            f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
+        )
+        return pf.prefilter_of(exts[0].program)
+
+    def _phrases(self, tree):
+        nodes = [tree] + (list(tree.subs) if hasattr(tree, "subs") else [])
+        return [n for n in nodes if isinstance(n, pf.PFPhrase)]
+
+    def test_phrase_nodes_emitted(self):
+        ph = self._phrases(self._tree("fast table"))
+        assert ph == [pf.PFPhrase(((0, "norm", "fast"), (1, "norm", "table")))]
+        ph = self._phrases(self._tree("fast [] table"))
+        assert ph == [pf.PFPhrase(((0, "norm", "fast"), (2, "norm", "table")))]
+        # variable-width gap splits the run; single-anchor sides emit nothing
+        assert self._phrases(self._tree("fast []* table")) == []
+        # exact quantifier keeps a fixed width
+        ph = self._phrases(self._tree("fast []{2} table"))
+        assert ph == [pf.PFPhrase(((0, "norm", "fast"), (3, "norm", "table")))]
+
+    def test_phrase_candidates_tighter_than_and(self, index):
+        both = index.candidate_keys(
+            pf.pf_and([pf.PFTerm("norm", "alpha"), pf.PFTerm("norm", "gamma")])
+        ).count()
+        assert both == 40  # co-occur everywhere
+        # never adjacent → positional intersection prunes to zero
+        not_adj = index.candidate_keys(
+            pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "gamma")))
+        ).count()
+        assert not_adj == 0
+        # always adjacent → keeps everything
+        adj = index.candidate_keys(
+            pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "beta")))
+        ).count()
+        assert adj == 40
+        # estimate = tightest anchor
+        assert (
+            index.estimated_candidates(
+                pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "quick")))
+            )
+            == 8
+        )
+
+    def test_legacy_index_without_positions_degrades(self, index):
+        node = pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "gamma")))
+        legacy = index.postings.drop("positions")
+        orig = index.postings
+        try:
+            index.postings = legacy
+            keys = index.candidate_keys(node)
+            # soundness floor: the AND-of-terms superset, no positional prune
+            assert keys.count() == 40
+        finally:
+            index.postings = orig
+
+    def test_phrase_query_takes_candidate_join_route(self, index, scan_engine):
+        eng = index.engine(max_candidate_frac=1.0)
+        df = eng.mentions("alpha [] gamma")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        a = sorted(map(tuple, df.select("doc_id", "sent_id", "start", "end").collect()))
+        b = sorted(
+            map(
+                tuple,
+                scan_engine.mentions("alpha [] gamma")
+                .select("doc_id", "sent_id", "start", "end")
+                .collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+
+def test_streaming_ingest_into_index(spark, corpus, tmp_path):
+    """Structured-Streaming ingest into the live index: each micro-batch
+    lands via add_documents (foreachBatch), the Spark rendering of the
+    reference's continuous indexing loop (IncrementalOdinsonIndex.scala:104
+    indexOdinsonDoc called per incoming doc + refresh). After availableNow
+    drains, streamed docs are index-reachable through the postings."""
+    idx = TermIndex.build(
+        tokenize_documents(corpus),
+        str(tmp_path / "stream_index"),
+        n_term_buckets=8,
+        n_doc_buckets=4,
+    )
+    src = str(tmp_path / "incoming")
+    new = spark.createDataFrame(
+        [(2000 + i, "xylophone fast xylophone", "en") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: idx.add_documents(tokenize_documents(batch))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    keys = idx.candidate_keys(pf.PFTerm("norm", "xylophone"))
+    assert keys is not None and keys.count() == 3
+    hits = idx.engine().mentions("xylophone").collect()
+    assert sorted({str(r.doc_id) for r in hits}) == ["2000", "2001", "2002"]
 
 
 def test_cost_model_routes_by_selectivity(spark, index):

@@ -15,6 +15,8 @@ from odinson_spark.pipeline.oneshot import extract_one_shot, text_prefilter_colu
 from odinson_spark.plans.prefilter import (
     PFAnd,
     PFEdge,
+    PFMultiTerm,
+    PFPhrase,
     PFTerm,
     prefilter_of,
     to_sql,
@@ -31,11 +33,20 @@ def _grammar(pattern):
 def test_prefilter_extraction_shapes():
     (e,) = _grammar("fast table")
     pf = prefilter_of(e.program)
-    assert pf == PFAnd((PFTerm("norm", "fast"), PFTerm("norm", "table")))
+    # term containment for the scan path + the positional phrase for the index
+    assert pf == PFAnd(
+        (
+            PFTerm("norm", "fast"),
+            PFTerm("norm", "table"),
+            PFPhrase(((0, "norm", "fast"), (1, "norm", "table"))),
+        )
+    )
     (e,) = _grammar("[word=cats] >conj_and [tag=/N.*/]")
     pf = prefilter_of(e.program)
-    # src term AND the traversal's edge label; regex dst is unconstrained
+    # src term AND the traversal's edge label; the regex dst becomes a
+    # multi-term node (TRUE on the scan path, dictionary rewrite on the index)
     assert PFTerm("word", "cats") in pf.subs and PFEdge("conj_and") in pf.subs
+    assert PFMultiTerm("tag", "regex", "N.*") in pf.subs
 
 
 def test_prefilter_soundness_optional_is_true():
