@@ -380,6 +380,61 @@ def test_streaming_ingest_into_index(spark, corpus, tmp_path):
     assert sorted({str(r.doc_id) for r in hits}) == ["2000", "2001", "2002"]
 
 
+def test_random_patterns_index_equals_scan(spark, index, scan_engine):
+    """Property check over the whole index planner: 40 seeded random
+    patterns (terms, wildcards, exact quantifiers, optionals, regex, fuzzy)
+    compiled into ONE grammar and extracted in a single pass on both
+    engines — every candidate route (term lookup, multi-term rewrite,
+    positional phrase, cost-model fallback, scan degrade on unconstrained
+    arms) must agree with the scan path rule-for-rule."""
+    import random
+
+    import yaml
+
+    from odinson_spark.lang.rules import RuleReader
+    from odinson_spark.pipeline.extract import extract_mentions_df
+
+    rng = random.Random(4242)
+    vocab = ["alpha", "beta", "gamma", "fast", "key", "end", "quick", "sort", "zzz"]
+
+    def element():
+        r = rng.random()
+        if r < 0.55:
+            return rng.choice(vocab)
+        if r < 0.70:
+            return "[]"
+        if r < 0.78:
+            return "[]{2}"
+        if r < 0.86:
+            return f"[norm=/{rng.choice(['qu', 'fa', 'ga', 'zz'])}.*/]"
+        if r < 0.93:
+            return rng.choice(vocab) + "?"
+        return rng.choice(vocab) + "~"
+
+    rules = [
+        {
+            "name": f"r{i}",
+            "type": "basic",
+            "pattern": " ".join(element() for _ in range(rng.randint(2, 4))),
+        }
+        for i in range(40)
+    ]
+    exts, _ = RuleReader().compile_rules(yaml.safe_dump({"rules": rules}))
+
+    def run(eng):
+        m = extract_mentions_df(eng._prefilter_sentences(eng.sentences, exts), exts)
+        return sorted(
+            map(
+                tuple,
+                m.select("found_by", "doc_id", "sent_id", "start", "end").collect(),
+            )
+        )
+
+    a = run(index.engine(max_candidate_frac=1.0))
+    b = run(scan_engine)
+    assert a == b and len(a) > 0
+
+
 def test_cost_model_routes_by_selectivity(spark, index):
     """Lucene-style docFreq planning: a stop-word-class term (appears in
     every doc — candidates >> max_candidate_frac) must skip the candidate
