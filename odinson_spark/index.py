@@ -773,6 +773,49 @@ class IndexedSearchEngine(SearchEngine):
         # past the cap the scan plan is both sound and usually cheaper
         self.max_expansions = max_expansions
 
+    def explain(self, pattern: str) -> dict:
+        """Which plan a pattern would take and why — the engine's analogue
+        of Lucene's IndexSearcher explain / the reference shell's query
+        introspection. Pure planning: reads only the (tiny) stats table and
+        runs multi-term expansions; never touches the sentence corpus."""
+        from .pipeline.extract import combined_prefilter
+
+        extractors = self.compile(pattern)
+        tree = combined_prefilter(extractors)
+        est = self.index.estimated_candidates(tree, self.max_expansions)
+        n = self.index.n_sentences
+        out = {
+            "pattern": pattern,
+            "prefilter": repr(tree),
+            "estimated_candidates": est,
+            "corpus_sentences": n,
+            "max_candidate_frac": self.max_candidate_frac,
+            "max_expansions": self.max_expansions,
+        }
+        if est is not None and n and est > self.max_candidate_frac * int(n):
+            out["route"] = "scan"
+            out["reason"] = (
+                f"cost model: estimated candidates {est} > "
+                f"{self.max_candidate_frac} x {n} sentences — the boolean-"
+                "prefiltered scan is the cheaper plan"
+            )
+            return out
+        cand = self.index.candidate_keys(tree, self.max_expansions)
+        if cand is None:
+            out["route"] = "scan"
+            out["reason"] = (
+                "unbounded prefilter: the pattern has no indexable necessary "
+                "condition (pure wildcard, over-cap expansion, or an OR with "
+                "an unconstrained arm)"
+            )
+        else:
+            out["route"] = "index"
+            out["reason"] = (
+                "posting-pruned candidate keys semi-joined into the sentence "
+                "scan (dynamic partition pruning on doc_bucket)"
+            )
+        return out
+
     def _prefilter_sentences(self, sents, extractors):
         from .pipeline.extract import combined_prefilter
 

@@ -28,6 +28,8 @@ HELP = """commands:
   :more             next page of the current query
   :index PATH       switch to a prebuilt TermIndex directory (postings-
                     pruned queries, the reference shell's native mode)
+  :explain PATTERN  show the plan an index engine would pick for PATTERN
+                    (route, estimated candidates, reason)
   :load PATH        compile a YAML rule file (:run executes it)
   :run              run the loaded rule file; print mentions per rule
   :reload           recompile the last loaded rule file
@@ -159,6 +161,19 @@ class OdinsonShell:
                 self._p(f"using index at {path}")
             except IndexError:
                 self._p("usage: :index PATH")
+            except Exception as e:
+                self._p(f"error: {e}")
+        elif line.startswith(":explain"):
+            try:
+                pat = line.split(None, 1)[1]
+                if not hasattr(self.engine, "explain"):
+                    self._p("explain needs an index engine (:index PATH first)")
+                else:
+                    info = self.engine.explain(pat)
+                    for k in ("route", "reason", "estimated_candidates", "prefilter"):
+                        self._p(f"{k} = {info[k]}")
+            except IndexError:
+                self._p("usage: :explain PATTERN")
             except Exception as e:
                 self._p(f"error: {e}")
         elif line.startswith(":load"):

@@ -380,6 +380,32 @@ def test_streaming_ingest_into_index(spark, corpus, tmp_path):
     assert sorted({str(r.doc_id) for r in hits}) == ["2000", "2001", "2002"]
 
 
+def test_explain_reports_route_and_reason(index):
+    eng = index.engine(max_candidate_frac=0.5)
+    # selective term → index route with a df estimate
+    info = eng.explain("quick")
+    assert info["route"] == "index" and info["estimated_candidates"] == 8
+    # stop-word-class term → cost-model scan
+    info = eng.explain("alpha")
+    assert info["route"] == "scan" and "cost model" in info["reason"]
+    # pure wildcard → unbounded prefilter scan
+    info = eng.explain("[]")
+    assert info["route"] == "scan" and "unbounded" in info["reason"]
+    assert info["estimated_candidates"] is None
+
+
+def test_shell_explain_command(spark, index):
+    import io
+
+    from odinson_spark.shell import OdinsonShell
+
+    out = io.StringIO()
+    sh = OdinsonShell(index.engine(max_candidate_frac=0.5), out=out)
+    sh.handle(":explain quick")
+    text = out.getvalue()
+    assert "route = index" in text and "estimated_candidates = 8" in text
+
+
 def test_random_patterns_index_equals_scan(spark, index, scan_engine):
     """Property check over the whole index planner: 40 seeded random
     patterns (terms, wildcards, exact quantifiers, optionals, regex, fuzzy)
