@@ -101,7 +101,14 @@ def _literal_prefix(pattern: str) -> str:
     any fullmatch, used to prune the term dictionary JVM-side before the
     exact Python predicate runs (Lucene's PrefixQuery-shaped terms-enum
     seek). A literal whose NEXT char is a quantifier is excluded (it may
-    match zero times); any metacharacter ends the prefix."""
+    match zero times); any metacharacter ends the prefix. An alternation
+    ANYWHERE voids the prefix: in ``ab|cd`` the branch ``cd`` fullmatches
+    without the ``ab`` prefix, so no startswith is necessary (a ``|``
+    inside a group after the prefix would be safe, but telling the two
+    apart needs a parser — conservative is sound, the exact predicate
+    still runs)."""
+    if "|" in pattern:
+        return ""
     out = []
     i = 0
     while i < len(pattern):
@@ -346,6 +353,12 @@ class TermIndex:
             .parquet(os.path.join(self.path, "sentences"))
         )
         postings = _postings_of(with_bucket, cols, self.n_term_buckets)
+        if "positions" not in self.postings.columns:
+            # appending into an index built before positional postings: keep
+            # the table uniformly position-less (a mixed table would read
+            # null positions for old rows and silently drop them from phrase
+            # intersections). compact() upgrades the whole index.
+            postings = postings.drop("positions")
         (
             postings.repartition("tbucket")
             .sortWithinPartitions("field", "term")

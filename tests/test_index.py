@@ -263,6 +263,28 @@ class TestMultiTermRewrite:
         assert _literal_prefix("ab?c") == "a"
         assert _literal_prefix("ab\\d") == "ab"
         assert _literal_prefix("ab{2}") == "a"
+        # a top-level alternation voids the prefix ('cd' fullmatches
+        # 'ab|cd' without starting with 'ab') — conservative everywhere
+        assert _literal_prefix("ab|cd") == ""
+        assert _literal_prefix("ab(c|d)") == ""
+
+    def test_regex_alternation_expansion_is_sound(self, index, scan_engine):
+        # 'qu.*|sort' must match BOTH quick and sort through the index path
+        pat = "[norm=/qu.*|sort/]"
+        eng = index.engine(max_candidate_frac=1.0)
+        a = sorted(
+            map(tuple, eng.mentions(pat).select("doc_id", "sent_id", "start", "end").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                scan_engine.mentions(pat).select("doc_id", "sent_id", "start", "end").collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+        node = pf.PFMultiTerm("norm", "regex", "qu.*|sort")
+        # both quick (8 docs) and sort (8 docs) postings reachable
+        assert index.estimated_candidates(node) == 16
 
 
 class TestPhrasePruning:
