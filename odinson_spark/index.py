@@ -96,18 +96,40 @@ _REGEX_META = set(".^$*+?()[]{}|\\")
 _REGEX_QUANT = set("*+?{")
 
 
+def _has_alternation(pattern: str) -> bool:
+    """True when the pattern contains an unescaped ``|`` outside a
+    character class — the only kind that can bypass a literal prefix."""
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "|":
+            return True
+        i += 1
+    return False
+
+
 def _literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex — a NECESSARY ``startswith`` for
     any fullmatch, used to prune the term dictionary JVM-side before the
     exact Python predicate runs (Lucene's PrefixQuery-shaped terms-enum
     seek). A literal whose NEXT char is a quantifier is excluded (it may
-    match zero times); any metacharacter ends the prefix. An alternation
-    ANYWHERE voids the prefix: in ``ab|cd`` the branch ``cd`` fullmatches
-    without the ``ab`` prefix, so no startswith is necessary (a ``|``
-    inside a group after the prefix would be safe, but telling the two
-    apart needs a parser — conservative is sound, the exact predicate
-    still runs)."""
-    if "|" in pattern:
+    match zero times); any metacharacter ends the prefix. An ALTERNATION
+    voids the prefix: in ``ab|cd`` the branch ``cd`` fullmatches without
+    the ``ab`` prefix, so no startswith is necessary. Only a real
+    alternation counts — ``\\|`` and ``[c|d]`` are literal pipes (a ``|``
+    inside a group after the prefix would also be safe, but telling group
+    depth apart needs a parser; unescaped-outside-class is the cheap sound
+    line)."""
+    if _has_alternation(pattern):
         return ""
     out = []
     i = 0
@@ -343,48 +365,58 @@ class TermIndex:
         partition directories, so query-side pruning is unchanged."""
         gen = int(self.meta.get("next_gen", 1))
         cols = [c for c in self.indexed_columns if c in sentences.columns]
+        # persist the batch: its lineage may include the (expensive)
+        # annotation pipeline, and it feeds the sentence write, the postings
+        # write, the stats aggregation, and the row count — an increment is
+        # small by definition, so caching beats three plan re-executions
         with_bucket = sentences.withColumn(
             "doc_bucket", _bucket(F.col("doc_id"), self.n_doc_buckets)
-        ).withColumn("gen", F.lit(gen).cast("long"))
-        (
-            with_bucket.repartition("doc_bucket")
-            .write.mode("append")
-            .partitionBy("doc_bucket")
-            .parquet(os.path.join(self.path, "sentences"))
-        )
-        postings = _postings_of(with_bucket, cols, self.n_term_buckets)
-        if "positions" not in self.postings.columns:
-            # appending into an index built before positional postings: keep
-            # the table uniformly position-less (a mixed table would read
-            # null positions for old rows and silently drop them from phrase
-            # intersections). compact() upgrades the whole index.
-            postings = postings.drop("positions")
-        (
-            postings.repartition("tbucket")
-            .sortWithinPartitions("field", "term")
-            .write.mode("append")
-            .partitionBy("tbucket")
-            .parquet(os.path.join(self.path, "postings"))
-        )
-        if self.stats is not None:
-            # stats for just the new batch, from its own plan (an increment
-            # is small by definition); readers sum df across files
-            inc_stats = (
-                postings.groupBy("tbucket", "field", "term")
-                .agg(F.count(F.lit(1)).alias("df"))
-            )
+        ).withColumn("gen", F.lit(gen).cast("long")).persist()
+        postings = None
+        try:
             (
-                inc_stats.repartition("tbucket")
+                with_bucket.repartition("doc_bucket")
+                .write.mode("append")
+                .partitionBy("doc_bucket")
+                .parquet(os.path.join(self.path, "sentences"))
+            )
+            postings = _postings_of(with_bucket, cols, self.n_term_buckets)
+            if "positions" not in self.postings.columns:
+                # appending into an index built before positional postings:
+                # keep the table uniformly position-less (a mixed table would
+                # read null positions for old rows and degrade those rows to
+                # key intersection). compact() upgrades the whole index.
+                postings = postings.drop("positions")
+            postings = postings.persist()
+            (
+                postings.repartition("tbucket")
                 .sortWithinPartitions("field", "term")
                 .write.mode("append")
                 .partitionBy("tbucket")
-                .parquet(os.path.join(self.path, "stats"))
+                .parquet(os.path.join(self.path, "postings"))
             )
+            if self.stats is not None:
+                # stats for just the new batch; readers sum df across files
+                inc_stats = (
+                    postings.groupBy("tbucket", "field", "term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+                (
+                    inc_stats.repartition("tbucket")
+                    .sortWithinPartitions("field", "term")
+                    .write.mode("append")
+                    .partitionBy("tbucket")
+                    .parquet(os.path.join(self.path, "stats"))
+                )
             self.meta["n_sentences"] = int(
-                self.meta.get("n_sentences", 0)
+                self.meta.get("n_sentences", 0) or 0
             ) + with_bucket.count()
-        self.meta["next_gen"] = gen + 1
-        self._write_meta()
+            self.meta["next_gen"] = gen + 1
+            self._write_meta()
+        finally:
+            with_bucket.unpersist()
+            if postings is not None:
+                postings.unpersist()
         self.refresh()
 
     def delete_documents(self, doc_ids: Sequence) -> None:
@@ -416,12 +448,14 @@ class TermIndex:
     def compact(self) -> None:
         """Purge tombstones by rewriting both tables (Lucene's segment
         merge). The only full rewrite in the lifecycle — run it when the
-        tombstone fraction warrants reclaiming the space/filter cost."""
+        tombstone fraction warrants reclaiming the space/filter cost. Also
+        the UPGRADE path: an index built before positional postings gets
+        positions on compaction even with no tombstones pending."""
         import shutil
         import tempfile
 
         tomb = self._tombstones()
-        if tomb is None:
+        if tomb is None and "positions" in self.postings.columns:
             return
         live = self.live_sentences()
         tmp = tempfile.mkdtemp(dir=os.path.dirname(self.path) or ".")
@@ -439,7 +473,7 @@ class TermIndex:
             new = os.path.join(rebuilt.path, sub)
             if os.path.isdir(new):
                 shutil.move(new, old)
-        shutil.rmtree(os.path.join(self.path, self._TOMBSTONES))
+        shutil.rmtree(os.path.join(self.path, self._TOMBSTONES), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         self.meta["n_sentences"] = rebuilt.meta.get("n_sentences")
         self._write_meta()
@@ -562,10 +596,17 @@ class TermIndex:
         )
         if len(fields) == 1:
             return df.select(*self._KEYS, "positions")
+        # null-preserving union: rows from files written before positional
+        # postings carry null positions ("unknown", not "none") — if every
+        # contributing row is null, the key's positions must stay null so
+        # the phrase filter keeps the row (degrades to key intersection)
+        # rather than dropping it on an empty array
         return df.groupBy(*self._KEYS).agg(
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("positions")))
-            ).alias("positions")
+            F.when(F.count("positions") == 0, F.lit(None).cast("array<int>"))
+            .otherwise(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("positions"))))
+            )
+            .alias("positions")
         )
 
     def _term_keys(self, fields: Sequence[str], term: str) -> DataFrame:
@@ -730,7 +771,13 @@ class TermIndex:
                     )
             if out is None:
                 return None
-            return out.filter(F.size("_base") > 0).select(*self._KEYS)
+            # null _base = positions unknown for some anchor (rows from a
+            # pre-positions file in a mixed table): keep the key — it came
+            # through every anchor's term lookup, so this is exactly the
+            # sound key-intersection degrade, per row
+            return out.filter(
+                F.col("_base").isNull() | (F.size("_base") > 0)
+            ).select(*self._KEYS)
         if t is pf.PFEdge:
             if "outgoing_flat" not in self.indexed_columns:
                 return None
@@ -786,6 +833,46 @@ class IndexedSearchEngine(SearchEngine):
         # past the cap the scan plan is both sound and usually cheaper
         self.max_expansions = max_expansions
 
+    def _route(self, tree):
+        """The single plan-choice point, shared by execution
+        (_prefilter_sentences) and introspection (explain) so the two can
+        never drift. Returns (route, estimate, candidate_keys, reason).
+
+        Cost-based choice (Lucene plans from TermStates.docFreq): when the
+        estimated candidate set is a large fraction of the corpus, the
+        posting lookup + key join costs more than it prunes — the boolean-
+        prefiltered scan IS the cheaper plan. The estimate is a pruned read
+        of the tiny stats table, paid once per query."""
+        est = self.index.estimated_candidates(tree, self.max_expansions)
+        n = self.index.n_sentences
+        if est is not None and n and est > self.max_candidate_frac * int(n):
+            return (
+                "scan",
+                est,
+                None,
+                f"cost model: estimated candidates {est} > "
+                f"{self.max_candidate_frac} x {n} sentences — the boolean-"
+                "prefiltered scan is the cheaper plan",
+            )
+        cand = self.index.candidate_keys(tree, self.max_expansions)
+        if cand is None:
+            why = (
+                "term dictionary absent: this index has no stats table, so "
+                "multi-term leaves cannot be rewritten"
+                if self.index.stats is None
+                else "unbounded prefilter: the pattern has no indexable "
+                "necessary condition (pure wildcard, over-cap expansion, or "
+                "an OR with an unconstrained arm)"
+            )
+            return ("scan", est, None, why)
+        return (
+            "index",
+            est,
+            cand,
+            "posting-pruned candidate keys semi-joined into the sentence "
+            "scan (dynamic partition pruning on doc_bucket)",
+        )
+
     def explain(self, pattern: str) -> dict:
         """Which plan a pattern would take and why — the engine's analogue
         of Lucene's IndexSearcher explain / the reference shell's query
@@ -795,57 +882,25 @@ class IndexedSearchEngine(SearchEngine):
 
         extractors = self.compile(pattern)
         tree = combined_prefilter(extractors)
-        est = self.index.estimated_candidates(tree, self.max_expansions)
-        n = self.index.n_sentences
-        out = {
+        route, est, _, reason = self._route(tree)
+        return {
             "pattern": pattern,
             "prefilter": repr(tree),
             "estimated_candidates": est,
-            "corpus_sentences": n,
+            "corpus_sentences": self.index.n_sentences,
             "max_candidate_frac": self.max_candidate_frac,
             "max_expansions": self.max_expansions,
+            "route": route,
+            "reason": reason,
         }
-        if est is not None and n and est > self.max_candidate_frac * int(n):
-            out["route"] = "scan"
-            out["reason"] = (
-                f"cost model: estimated candidates {est} > "
-                f"{self.max_candidate_frac} x {n} sentences — the boolean-"
-                "prefiltered scan is the cheaper plan"
-            )
-            return out
-        cand = self.index.candidate_keys(tree, self.max_expansions)
-        if cand is None:
-            out["route"] = "scan"
-            out["reason"] = (
-                "unbounded prefilter: the pattern has no indexable necessary "
-                "condition (pure wildcard, over-cap expansion, or an OR with "
-                "an unconstrained arm)"
-            )
-        else:
-            out["route"] = "index"
-            out["reason"] = (
-                "posting-pruned candidate keys semi-joined into the sentence "
-                "scan (dynamic partition pruning on doc_bucket)"
-            )
-        return out
 
     def _prefilter_sentences(self, sents, extractors):
         from .pipeline.extract import combined_prefilter
 
         tree = combined_prefilter(extractors)
-        # cost-based plan choice (Lucene plans from TermStates.docFreq):
-        # when the estimated candidate set is a large fraction of the
-        # corpus, the posting lookup + key join costs more than it prunes —
-        # the boolean-prefiltered scan IS the cheaper plan. The estimate is
-        # a pruned read of the tiny stats table, paid once per query.
-        est = self.index.estimated_candidates(tree, self.max_expansions)
-        if (
-            est is not None
-            and self.index.n_sentences
-            and est > self.max_candidate_frac * int(self.index.n_sentences)
-        ):
+        route, _, cand, _ = self._route(tree)
+        if route == "scan":
             return apply_prefilter(sents, extractors)
-        cand = self.index.candidate_keys(tree, self.max_expansions)
         if cand is not None:
             on = [k for k in TermIndex._KEYS if k in sents.columns]
             cand = cand.select(*on)

@@ -180,6 +180,35 @@ class TestIncremental:
         assert inc._tombstones() is None
         assert self._hits(inc) == after
 
+    def test_compact_upgrades_positionless_index(self, spark, inc, tmp_path):
+        """An index built before positional postings gains positions on
+        compact() even with no tombstones pending (the documented upgrade
+        path for the add_documents position-drop guard)."""
+        import shutil
+
+        tmp_pl = str(tmp_path / "pl")
+        inc.postings.drop("positions").write.parquet(tmp_pl)
+        shutil.rmtree(os.path.join(inc.path, "postings"))
+        shutil.move(tmp_pl, os.path.join(inc.path, "postings"))
+        inc.refresh()
+        assert "positions" not in inc.postings.columns
+        # appends into the legacy index stay position-less (uniform table)
+        new = spark.createDataFrame(
+            [(3000, "quokka fast quokka", "en")],
+            "doc_id long, text string, lang string",
+        )
+        inc.add_documents(tokenize_documents(new))
+        assert "positions" not in inc.postings.columns
+        inc.compact()
+        assert "positions" in inc.postings.columns
+        # positional pruning live again: alpha/gamma never adjacent
+        keys = inc.candidate_keys(
+            pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "gamma")))
+        )
+        assert keys.count() == 0
+        # and the appended doc survived the upgrade
+        assert inc.candidate_keys(pf.PFTerm("norm", "quokka")).count() == 1
+
     def test_update_replaces(self, spark, inc):
         new = spark.createDataFrame(
             [(0, "replaced fast body", "en")],
@@ -267,6 +296,9 @@ class TestMultiTermRewrite:
         # 'ab|cd' without starting with 'ab') — conservative everywhere
         assert _literal_prefix("ab|cd") == ""
         assert _literal_prefix("ab(c|d)") == ""
+        # ...but a literal pipe (escaped / inside a class) keeps it
+        assert _literal_prefix("ab\\|c") == "ab"
+        assert _literal_prefix("ab[c|d]") == "ab"
 
     def test_regex_alternation_expansion_is_sound(self, index, scan_engine):
         # 'qu.*|sort' must match BOTH quick and sort through the index path
@@ -347,6 +379,27 @@ class TestPhrasePruning:
             index.postings = legacy
             keys = index.candidate_keys(node)
             # soundness floor: the AND-of-terms superset, no positional prune
+            assert keys.count() == 40
+        finally:
+            index.postings = orig
+
+    def test_null_positions_degrade_to_key_intersection(self, index):
+        """Rows whose positions are unknown (a pre-positions file inside a
+        mixed table) must KEEP their keys — the phrase filter degrades to
+        key intersection per row instead of dropping true matches."""
+        orig = index.postings
+        patched = orig.withColumn(
+            "positions",
+            F.when(F.col("term") == "alpha", F.lit(None).cast("array<int>"))
+            .otherwise(F.col("positions")),
+        )
+        try:
+            index.postings = patched
+            keys = index.candidate_keys(
+                pf.PFPhrase(((0, "norm", "alpha"), (1, "norm", "gamma")))
+            )
+            # with known positions this is 0 (never adjacent); with alpha's
+            # positions unknown it must fall back to co-occurrence (40)
             assert keys.count() == 40
         finally:
             index.postings = orig
