@@ -229,6 +229,7 @@ class TermIndex:
         # per-query-lifetime memo of multi-term expansions: the engine asks
         # for the estimate and then the keys of the same leaf
         self._mt_cache: dict = {}
+        self._df_cache: dict = {}
 
     # -- build --------------------------------------------------------------
 
@@ -491,6 +492,7 @@ class TermIndex:
         self.n_sentences = self.meta.get("n_sentences")
         # the term dictionary may have grown/shrunk: drop memoized expansions
         self._mt_cache = {}
+        self._df_cache = {}
 
     # -- candidate generation ----------------------------------------------
 
@@ -631,9 +633,15 @@ class TermIndex:
         """Document frequency of (fields, term) from the stats table — a
         pruned lookup (tbucket partition + sorted-term row-group skip) of a
         table with one row per distinct (field, term), i.e. Lucene's
-        TermStates.docFreq. None when stats are unavailable."""
+        TermStates.docFreq. None when stats are unavailable. Memoized per
+        reader generation: the estimate pass and the join-ordering pass ask
+        for the same terms."""
         if self.stats is None:
             return None
+        key = (tuple(fields), term)
+        cached = self._df_cache.get(key)
+        if cached is not None:
+            return cached
         tb = zlib.crc32(term.encode()) % self.n_term_buckets
         rows = (
             self.stats.filter(
@@ -644,7 +652,9 @@ class TermIndex:
             .agg(F.sum("df"))
             .first()
         )
-        return int(rows[0] or 0)
+        out = int(rows[0] or 0)
+        self._df_cache[key] = out
+        return out
 
     def estimated_candidates(self, tree, max_expansions: int = 1024) -> Optional[int]:
         """Upper-bound candidate-key count for the prefilter tree, from
@@ -748,8 +758,19 @@ class TermIndex:
                     pf.pf_and([pf.PFTerm(f, v) for _, f, v in tree.anchors]),
                     max_expansions,
                 )
+            # lead with the sparsest anchor (Lucene's conjunction order):
+            # the inner joins then never carry more keys than its postings
+            def _anchor_df(a):
+                flds = self._multi_term_fields(a[1])
+                if flds is None:
+                    return (True, 0)
+                d = self._term_df(flds, a[2])
+                return (d is None, d or 0)
+
             out = None
-            for i, (off, field, value) in enumerate(tree.anchors):
+            for i, (off, field, value) in enumerate(
+                sorted(tree.anchors, key=_anchor_df)
+            ):
                 fields = self._multi_term_fields(field)
                 if fields is None:
                     continue  # un-indexed layer: skip the anchor (sound)
@@ -783,13 +804,22 @@ class TermIndex:
                 return None
             return self._term_keys(["outgoing_flat"], tree.label)
         if t is pf.PFAnd:
-            subs = [self.candidate_keys(s, max_expansions) for s in tree.subs]
-            subs = [s for s in subs if s is not None]
-            if not subs:
+            # Lucene's conjunction scorer leads with the sparsest postings:
+            # order arms by docFreq estimate ascending and chain LEFTSEMI
+            # joins — every intermediate stays ≤ the smallest arm, and only
+            # key columns move (an inner join would carry both sides)
+            scored = []
+            for s in tree.subs:
+                k = self.candidate_keys(s, max_expansions)
+                if k is not None:
+                    est = self.estimated_candidates(s, max_expansions)
+                    scored.append((est is None, est or 0, len(scored), k))
+            if not scored:
                 return None
-            out = subs[0]
-            for s in subs[1:]:
-                out = out.join(s, on=self._KEYS, how="inner")
+            scored.sort(key=lambda x: x[:3])
+            out = scored[0][3]
+            for item in scored[1:]:
+                out = out.join(item[3], on=self._KEYS, how="leftsemi")
             return out
         if t is pf.PFOr:
             subs = [self.candidate_keys(s, max_expansions) for s in tree.subs]

@@ -469,6 +469,23 @@ def test_explain_reports_route_and_reason(index):
     assert info["estimated_candidates"] is None
 
 
+def test_explain_names_missing_dictionary(spark, corpus, tmp_path):
+    """On an index without a stats table a multi-term pattern routes to
+    scan, and explain() must name the REAL cause (dictionary absent), not
+    the generic unbounded-prefilter reason."""
+    import shutil
+
+    out = str(tmp_path / "nostats_index")
+    idx = TermIndex.build(
+        tokenize_documents(corpus), out, n_term_buckets=8, n_doc_buckets=4
+    )
+    shutil.rmtree(os.path.join(out, "stats"))
+    idx.refresh()
+    assert idx.stats is None
+    info = idx.engine().explain("[norm=/qu.*/]")
+    assert info["route"] == "scan" and "dictionary absent" in info["reason"]
+
+
 def test_shell_explain_command(spark, index):
     import io
 
