@@ -598,11 +598,17 @@ class TermIndex:
         )
         if len(fields) == 1:
             return df.select(*self._KEYS, "positions")
-        # null-preserving union: rows from files written before positional
-        # postings carry null positions ("unknown", not "none") — if every
-        # contributing row is null, the key's positions must stay null so
-        # the phrase filter keeps the row (degrades to key intersection)
-        # rather than dropping it on an empty array
+        return self._positions_union(df)
+
+    def _positions_union(self, df: DataFrame) -> DataFrame:
+        """Per-key union of position lists across posting rows (synonym
+        fields, or the matched terms of a multi-term expansion).
+
+        Null-preserving: rows from files written before positional postings
+        carry null positions ("unknown", not "none") — if every contributing
+        row is null, the key's positions must stay null so the phrase filter
+        keeps the row (degrades to key intersection) rather than dropping it
+        on an empty array."""
         return df.groupBy(*self._KEYS).agg(
             F.when(F.count("positions") == 0, F.lit(None).cast("array<int>"))
             .otherwise(
@@ -610,6 +616,18 @@ class TermIndex:
             )
             .alias("positions")
         )
+
+    def _expanded_positions(self, fields: Sequence[str], terms: Sequence[str]) -> DataFrame:
+        """Keyed position union over ALL matched terms of a multi-term
+        expansion: a token satisfies the regex/fuzzy leaf wherever ANY
+        matched term occurs."""
+        tbs = sorted({zlib.crc32(t_.encode()) % self.n_term_buckets for t_ in terms})
+        df = self.postings.filter(
+            F.col("tbucket").isin(tbs)
+            & F.col("field").isin(list(fields))
+            & F.col("term").isin(list(terms))
+        )
+        return self._positions_union(df)
 
     def _term_keys(self, fields: Sequence[str], term: str) -> DataFrame:
         """Pruned postings lookup: partition filter on tbucket + equality on
@@ -684,6 +702,14 @@ class TermIndex:
                     e = self._term_df(fields, value)
                     if e is not None:
                         ests.append(e)
+            for _, node in tree.multi_anchors:
+                fields = self._multi_term_fields(node.field)
+                if fields is not None:
+                    exp = self._expand_multi_term(
+                        fields, node.kind, node.value, max_expansions
+                    )
+                    if exp is not None:
+                        ests.append(exp[1])
             # positional intersection can only shrink the tightest anchor
             return min(ests) if ests else None
         if t is pf.PFEdge:
@@ -748,40 +774,55 @@ class TermIndex:
         if t is pf.PFPhrase:
             # Lucene SpanNearQuery(slop=0, inOrder): intersect per-anchor
             # position lists shifted to a common base. Each anchor lookup is
-            # the same pruned postings seek as a term; the join chain runs
+            # the same pruned postings seek as a term (multi-term anchors go
+            # through the dictionary expansion first); the join chain runs
             # over candidate keys only, and the (interpreted-HOF) position
             # arithmetic touches arrays of a few ints on those rows alone.
             if "positions" not in self.postings.columns:
                 # index built before positions existed: degrade to the
-                # sound key-intersection of the anchor terms
-                return self.candidate_keys(
-                    pf.pf_and([pf.PFTerm(f, v) for _, f, v in tree.anchors]),
-                    max_expansions,
-                )
-            # lead with the sparsest anchor (Lucene's conjunction order):
-            # the inner joins then never carry more keys than its postings
-            def _anchor_df(a):
-                flds = self._multi_term_fields(a[1])
-                if flds is None:
-                    return (True, 0)
-                d = self._term_df(flds, a[2])
-                return (d is None, d or 0)
-
-            out = None
-            for i, (off, field, value) in enumerate(
-                sorted(tree.anchors, key=_anchor_df)
-            ):
+                # sound key-intersection of the anchor leaves
+                nodes = [pf.PFTerm(f, v) for _, f, v in tree.anchors]
+                nodes += [m for _, m in tree.multi_anchors]
+                return self.candidate_keys(pf.pf_and(nodes), max_expansions)
+            # (sort_key, offset, keyed-positions) per usable anchor; lead
+            # with the sparsest (Lucene's conjunction order) so the inner
+            # joins never carry more keys than its postings
+            lookups = []
+            for off, field, value in tree.anchors:
                 fields = self._multi_term_fields(field)
                 if fields is None:
                     continue  # un-indexed layer: skip the anchor (sound)
+                d = self._term_df(fields, value)
+                lookups.append(
+                    ((d is None, d or 0), off, self._term_positions(fields, value))
+                )
+            for off, node in tree.multi_anchors:
+                fields = self._multi_term_fields(node.field)
+                if fields is None:
+                    continue
+                exp = self._expand_multi_term(
+                    fields, node.kind, node.value, max_expansions
+                )
+                if exp is None:
+                    continue  # over-cap expansion: skip the anchor (sound)
+                terms, dfsum = exp
+                if not terms:
+                    # the leaf matches NO stored term → nothing can match
+                    return self.postings.select(*self._KEYS).limit(0)
+                lookups.append(
+                    ((False, dfsum), off, self._expanded_positions(fields, terms))
+                )
+            if not lookups:
+                return None
+            lookups.sort(key=lambda x: x[0])
+            out = None
+            for i, (_, off, posdf) in enumerate(lookups):
                 pcol = f"_p{i}"
                 # NB: the transform lambda must take exactly ONE arg — a
                 # second (even defaulted) arg is bound to the element INDEX
-                cur = (
-                    self._term_positions(fields, value)
-                    .withColumn(pcol, F.transform("positions", _shift_by(off)))
-                    .drop("positions")
-                )
+                cur = posdf.withColumn(
+                    pcol, F.transform("positions", _shift_by(off))
+                ).drop("positions")
                 if out is None:
                     out = cur.withColumnRenamed(pcol, "_base")
                 else:
@@ -790,8 +831,6 @@ class TermIndex:
                         .withColumn("_base", F.array_intersect("_base", pcol))
                         .drop(pcol)
                     )
-            if out is None:
-                return None
             # null _base = positions unknown for some anchor (rows from a
             # pre-positions file in a mixed table): keep the key — it came
             # through every anchor's term lookup, so this is exactly the

@@ -88,11 +88,16 @@ class PFPhrase:
 
     ``anchors``: ((offset, field, value), ...) with offsets non-decreasing;
     a sentence can match only if for some base position p every anchor's
-    term occurs at p + offset. At least 2 entries with ≥2 distinct offsets
-    (fewer degenerates to PFTerm/PFAnd, which pf_and already carries).
+    term occurs at p + offset. ``multi_anchors``: ((offset, PFMultiTerm),
+    ...) — regex/fuzzy tokens at fixed offsets, anchored through the term-
+    dictionary expansion (positions unioned over the matched terms). At
+    least 2 entries across both with ≥2 distinct offsets (fewer
+    degenerates to PFTerm/PFAnd/PFMultiTerm, which pf_and already
+    carries).
     """
 
     anchors: Tuple[Tuple[int, str, str], ...]
+    multi_anchors: Tuple[Tuple[int, "PFMultiTerm"], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -212,29 +217,41 @@ def _prog_width(p) -> object:
     return None  # POptional, PExpand, PGraphTraversal, PAllNGrams, PEvent, …
 
 
-def _anchors_of(p, default_field: str, base: int) -> List[Tuple[int, str, str]]:
-    """Literal (offset, field, value) anchors of a KNOWN-width fragment.
-    Only single-valued token layers anchor positions — incoming/outgoing
-    live as sentence-level flat sets in the index, positionless."""
+def _anchors_of(p, default_field: str, base: int):
+    """(term_anchors, multi_anchors) of a KNOWN-width fragment: literal
+    (offset, field, value) triples plus (offset, PFMultiTerm) pairs for
+    regex/fuzzy tokens (anchored through the dictionary expansion). Only
+    single-valued token layers anchor positions — incoming/outgoing live
+    as sentence-level flat sets in the index, positionless."""
     t = type(p)
     if t is prog.PToken:
         m = _mask_pf(p.expr, default_field)
         subs = m.subs if isinstance(m, PFAnd) else (m,)
-        return [
+        terms = [
             (base, s.field, s.value)
             for s in subs
             if isinstance(s, PFTerm) and s.field not in ("incoming", "outgoing")
         ]
+        multis = [
+            (base, s)
+            for s in subs
+            if isinstance(s, PFMultiTerm)
+            and s.field not in ("incoming", "outgoing")
+        ]
+        return terms, multis
     if t is prog.PNamedCapture:
         return _anchors_of(p.sub, default_field, base)
     if t is prog.PConcat:
-        out: List[Tuple[int, str, str]] = []
+        terms: List[Tuple[int, str, str]] = []
+        multis: list = []
         off = base
         for c in p.clauses:
-            out.extend(_anchors_of(c, default_field, off))
+            ts, ms = _anchors_of(c, default_field, off)
+            terms.extend(ts)
+            multis.extend(ms)
             off += _prog_width(c)  # parent guaranteed width is known
-        return out
-    return []
+        return terms, multis
+    return [], []
 
 
 def _phrases_of(clauses, default_field: str) -> List[PFPhrase]:
@@ -244,12 +261,15 @@ def _phrases_of(clauses, default_field: str) -> List[PFPhrase]:
     quantifiers) stay in one phrase with the gap folded into offsets."""
     phrases: List[PFPhrase] = []
     run: List[Tuple[int, str, str]] = []
+    run_multi: list = []
     off = 0
 
     def _flush():
-        if len({a[0] for a in run}) >= 2:
-            phrases.append(PFPhrase(tuple(run)))
+        offsets = {a[0] for a in run} | {m[0] for m in run_multi}
+        if len(offsets) >= 2:
+            phrases.append(PFPhrase(tuple(run), tuple(run_multi)))
         run.clear()
+        run_multi.clear()
 
     for c in clauses:
         w = _prog_width(c)
@@ -257,7 +277,9 @@ def _phrases_of(clauses, default_field: str) -> List[PFPhrase]:
             _flush()
             off = 0
             continue
-        run.extend(_anchors_of(c, default_field, off))
+        ts, ms = _anchors_of(c, default_field, off)
+        run.extend(ts)
+        run_multi.extend(ms)
         off += w
     _flush()
     return phrases

@@ -61,6 +61,7 @@ PATTERNS = [
     "alpha beta",                # adjacent phrase — positional pruning
     "alpha [] gamma",            # gapped phrase (fixed-width wildcard)
     "quick sort gamma",          # 3-anchor phrase
+    "[norm=/be.*/] gamma",       # multi-term (regex) anchor inside a phrase
 ]
 
 
@@ -382,6 +383,43 @@ class TestPhrasePruning:
             assert keys.count() == 40
         finally:
             index.postings = orig
+
+    def test_multi_term_anchor_in_phrase(self, index):
+        # "[norm=/be.*/] gamma": the regex token anchors POSITIONALLY
+        # through the dictionary expansion (beta is the only be.* term);
+        # beta and gamma are adjacent only in docs with no inserted extras
+        # (i%3==0 and i%5!=0 → 11 of 40)
+        node = pf.PFPhrase(
+            anchors=((1, "norm", "gamma"),),
+            multi_anchors=((0, pf.PFMultiTerm("norm", "regex", "be.*")),),
+        )
+        keys = index.candidate_keys(node)
+        assert keys.count() == 11
+        # co-occurrence alone would admit all 40 — the expansion anchor
+        # prunes positionally, not just by key
+        assert (
+            index.candidate_keys(
+                pf.pf_and([pf.PFMultiTerm("norm", "regex", "be.*"), pf.PFTerm("norm", "gamma")])
+            ).count()
+            == 40
+        )
+        # estimate includes the expansion df (beta in all 40 docs)
+        assert index.estimated_candidates(node) == 40
+        # a never-matching expansion inside a phrase proves emptiness
+        empty = pf.PFPhrase(
+            anchors=((1, "norm", "gamma"),),
+            multi_anchors=((0, pf.PFMultiTerm("norm", "regex", "zzz.*")),),
+        )
+        assert index.candidate_keys(empty).count() == 0
+
+    def test_multi_term_anchor_emitted(self):
+        ph = self._phrases(self._tree("fast [norm=/qu.*/]"))
+        assert ph == [
+            pf.PFPhrase(
+                anchors=((0, "norm", "fast"),),
+                multi_anchors=((1, pf.PFMultiTerm("norm", "regex", "qu.*")),),
+            )
+        ]
 
     def test_null_positions_degrade_to_key_intersection(self, index):
         """Rows whose positions are unknown (a pre-positions file inside a
