@@ -617,16 +617,27 @@ class TermIndex:
             .alias("positions")
         )
 
-    def _expanded_positions(self, fields: Sequence[str], terms: Sequence[str]) -> DataFrame:
-        """Keyed position union over ALL matched terms of a multi-term
-        expansion: a token satisfies the regex/fuzzy leaf wherever ANY
-        matched term occurs."""
+    def _expanded_postings(self, fields: Sequence[str], terms: Sequence[str]) -> DataFrame:
+        """Pruned postings rows for a multi-term expansion's matched terms:
+        the matched terms' buckets are computable driver-side, so the lookup
+        still prunes tbucket partition directories; the isin literals
+        compile to an InSet, fully codegen."""
         tbs = sorted({zlib.crc32(t_.encode()) % self.n_term_buckets for t_ in terms})
-        df = self.postings.filter(
+        return self.postings.filter(
             F.col("tbucket").isin(tbs)
             & F.col("field").isin(list(fields))
             & F.col("term").isin(list(terms))
         )
+
+    def _expanded_positions(self, fields: Sequence[str], terms: Sequence[str]) -> DataFrame:
+        """Keyed position union over ALL matched terms of a multi-term
+        expansion: a token satisfies the regex/fuzzy leaf wherever ANY
+        matched term occurs."""
+        df = self._expanded_postings(fields, terms)
+        if len(fields) == 1 and len(terms) == 1:
+            # rows are already key-unique (distinct (field, term, key) by
+            # construction) — skip the union's groupBy shuffle
+            return df.select(*self._KEYS, "positions")
         return self._positions_union(df)
 
     def _term_keys(self, fields: Sequence[str], term: str) -> DataFrame:
@@ -758,16 +769,8 @@ class TermIndex:
             terms = exp[0]
             if not terms:
                 return self.postings.select(*self._KEYS).limit(0)
-            # the matched terms' buckets are computable driver-side, so the
-            # lookup still prunes tbucket partition directories; the isin
-            # literals compile to an InSet, fully codegen
-            tbs = sorted({zlib.crc32(t_.encode()) % self.n_term_buckets for t_ in terms})
             return (
-                self.postings.filter(
-                    F.col("tbucket").isin(tbs)
-                    & F.col("field").isin(list(fields))
-                    & F.col("term").isin(terms)
-                )
+                self._expanded_postings(fields, terms)
                 .select(*self._KEYS)
                 .dropDuplicates(self._KEYS)
             )
