@@ -28,6 +28,8 @@ HELP = """commands:
   :more             next page of the current query
   :index PATH       switch to a prebuilt TermIndex directory (postings-
                     pruned queries, the reference shell's native mode)
+  :buildindex PATH  materialize the current corpus as a TermIndex at PATH
+                    and switch to it (the reference's IndexDocuments app)
   :explain PATTERN  show the plan an index engine would pick for PATTERN
                     (route, estimated candidates, reason)
   :load PATH        compile a YAML rule file (:run executes it)
@@ -148,6 +150,21 @@ class OdinsonShell:
                 self._p("no more results")
             else:
                 self._show_page()
+        elif line.startswith(":buildindex"):
+            try:
+                from .index import TermIndex
+
+                path = line.split(None, 1)[1]
+                idx = TermIndex.build(self.engine.sentences, path)
+                self.engine = idx.engine(
+                    extra_token_fields=self.engine.extra_token_fields
+                )
+                self.query, self.after, self.shown = None, None, 0
+                self._p(f"built index at {path} ({idx.n_sentences} sentences)")
+            except IndexError:
+                self._p("usage: :buildindex PATH")
+            except Exception as e:
+                self._p(f"error: {e}")
         elif line.startswith(":index"):
             try:
                 from .index import TermIndex

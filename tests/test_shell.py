@@ -104,3 +104,16 @@ def test_index_command_switches_engine(spark, engine, tmp_path):
     # bad path reports and keeps the shell alive
     out = drive(engine, ":index /nonexistent", ":corpus")
     assert "error:" in out and "sentences: 12" in out
+
+
+def test_buildindex_command_materializes_and_switches(engine, tmp_path):
+    path = str(tmp_path / "built_idx")
+    out = drive(engine, ":buildindex " + path, "fast", ":explain fast")
+    assert f"built index at {path}" in out
+    assert ">>> fast <<<" in out  # queries run against the new index engine
+    assert "route =" in out  # explain available → it IS an index engine
+    import os
+
+    assert os.path.exists(os.path.join(path, "odinson_index_meta.json"))
+    out = drive(engine, ":buildindex")
+    assert "usage: :buildindex PATH" in out
