@@ -220,16 +220,34 @@ class TermIndex:
         self.n_doc_buckets = int(meta["n_doc_buckets"])
         self.indexed_columns = tuple(meta["indexed_columns"])
         self.n_sentences = meta.get("n_sentences")
-        self.sentences = spark.read.parquet(os.path.join(path, "sentences"))
-        self.postings = spark.read.parquet(os.path.join(path, "postings"))
-        stats_path = os.path.join(path, "stats")
+        self.sentences = self._read_table("sentences")
+        self.postings = self._read_table("postings")
         self.stats = (
-            spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
+            self._read_table("stats")
+            if os.path.isdir(os.path.join(path, "stats"))
+            else None
         )
         # per-query-lifetime memo of multi-term expansions: the engine asks
         # for the estimate and then the keys of the same leaf
         self._mt_cache: dict = {}
         self._df_cache: dict = {}
+
+    def _read_table(self, sub: str) -> DataFrame:
+        """Open one of the index tables. Schemas are pinned in the meta file
+        (written at build time), so a table that is currently EMPTY — an
+        index compacted down to zero documents, or built from an empty
+        corpus — still opens (parquet schema inference has no footer to
+        read there). Indexes written before schema pinning fall back to
+        inference."""
+        from pyspark.sql.types import StructType
+
+        p = os.path.join(self.path, sub)
+        sch = (self.meta.get("schemas") or {}).get(sub)
+        if sch:
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(sch))
+            ).parquet(p)
+        return self.spark.read.parquet(p)
 
     # -- build --------------------------------------------------------------
 
@@ -285,7 +303,11 @@ class TermIndex:
         # terms × fields), same tbucket pruning as the postings. Computed
         # from the files just written, not the upstream plan, so the
         # (possibly expensive) annotation pipeline doesn't re-run.
-        written = spark.read.parquet(os.path.join(path, "postings"))
+        # explicit schema: an empty corpus writes no part files, and a
+        # schema-less read of an empty dir cannot infer one
+        written = spark.read.schema(postings.schema).parquet(
+            os.path.join(path, "postings")
+        )
         stats = (
             written.groupBy("tbucket", "field", "term")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -302,6 +324,13 @@ class TermIndex:
             "n_term_buckets": n_term_buckets,
             "n_doc_buckets": n_doc_buckets,
             "indexed_columns": cols,
+            # pinned table schemas: keep the index openable when a table is
+            # empty (zero-doc corpus, or compacted down to nothing)
+            "schemas": {
+                "sentences": with_bucket.schema.json(),
+                "postings": postings.schema.json(),
+                "stats": stats.schema.json(),
+            },
             "next_gen": 1,
             "n_sentences": n_rows,
         }
@@ -477,17 +506,19 @@ class TermIndex:
         shutil.rmtree(os.path.join(self.path, self._TOMBSTONES), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         self.meta["n_sentences"] = rebuilt.meta.get("n_sentences")
+        self.meta["schemas"] = rebuilt.meta.get("schemas")
         self._write_meta()
         self.refresh()
 
     def refresh(self) -> None:
         """Re-open the table readers so queries see appended files
         (reference refresh(): searcher manager re-open)."""
-        self.sentences = self.spark.read.parquet(os.path.join(self.path, "sentences"))
-        self.postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
-        stats_path = os.path.join(self.path, "stats")
+        self.sentences = self._read_table("sentences")
+        self.postings = self._read_table("postings")
         self.stats = (
-            self.spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None
+            self._read_table("stats")
+            if os.path.isdir(os.path.join(self.path, "stats"))
+            else None
         )
         self.n_sentences = self.meta.get("n_sentences")
         # the term dictionary may have grown/shrunk: drop memoized expansions

@@ -191,6 +191,9 @@ class TestIncremental:
         inc.postings.drop("positions").write.parquet(tmp_pl)
         shutil.rmtree(os.path.join(inc.path, "postings"))
         shutil.move(tmp_pl, os.path.join(inc.path, "postings"))
+        # a real pre-positions index predates schema pinning too
+        inc.meta.pop("schemas", None)
+        inc._write_meta()
         inc.refresh()
         assert "positions" not in inc.postings.columns
         # appends into the legacy index stay position-less (uniform table)
@@ -589,6 +592,74 @@ def test_random_patterns_index_equals_scan(spark, index, scan_engine):
     a = run(index.engine(max_candidate_frac=1.0))
     b = run(scan_engine)
     assert a == b and len(a) > 0
+
+
+def test_random_lifecycle_matches_generation_model(spark, tmp_path):
+    """Property check of the incremental lifecycle: a seeded random
+    sequence of add / delete / update / compact ops, mirrored against an
+    independent Python model of Lucene's sequence-number semantics
+    (IncrementalOdinsonIndex.scala:104-124 — a delete hides only versions
+    written BEFORE it; re-adds stay visible; compact is semantics-
+    preserving). After every op the visible doc multiset must match."""
+    import random
+
+    rng = random.Random(99)
+    base = spark.createDataFrame(
+        [(i, "seed fast doc", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    idx = TermIndex.build(
+        tokenize_documents(base), str(tmp_path / "life_idx"), n_term_buckets=4, n_doc_buckets=2
+    )
+    # model: list of live (doc_id, gen); every doc body contains one 'fast'
+    gen = 1
+    live = [(i, 0) for i in range(4)]
+    next_id = 100
+
+    def visible():
+        return sorted(d for d, _ in live)
+
+    def spark_visible():
+        return sorted(
+            int(r.doc_id) for r in idx.engine().mentions("fast").collect()
+        )
+
+    for step in range(12):
+        op = rng.choice(["add", "delete", "update", "compact"])
+        if op == "add":
+            ids = [next_id + k for k in range(rng.randint(1, 2))]
+            next_id += len(ids)
+            df = spark.createDataFrame(
+                [(i, "added fast body", "en") for i in ids],
+                "doc_id long, text string, lang string",
+            )
+            idx.add_documents(tokenize_documents(df))
+            live.extend((i, gen) for i in ids)
+            gen += 1
+        elif op == "delete":
+            if not live:
+                continue
+            victims = rng.sample([d for d, _ in live], k=min(2, len(live)))
+            idx.delete_documents(victims)
+            # tombstone cutoff = gen: hides versions with g < gen (all live)
+            live = [(d, g) for d, g in live if d not in victims]
+            gen += 1
+        elif op == "update":
+            if not live:
+                continue
+            victim = rng.choice([d for d, _ in live])
+            df = spark.createDataFrame(
+                [(victim, "updated fast body", "en")],
+                "doc_id long, text string, lang string",
+            )
+            idx.update_documents(tokenize_documents(df))
+            live = [(d, g) for d, g in live if d != victim]
+            gen += 1  # the delete inside update
+            live.append((victim, gen))
+            gen += 1  # the add inside update
+        else:
+            idx.compact()  # semantics-preserving
+        assert spark_visible() == visible(), (step, op)
 
 
 def test_cost_model_routes_by_selectivity(spark, index):
