@@ -103,7 +103,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_postings: int = 10000,
     gram_impl: str = "pandas",
+    max_broadcast_docs: int = 250_000,
 ) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs (integer fixed-point, ≥ threshold).
+
+    Two routes, same output bit-for-bit:
+
+    * **broadcast-postings** (≤ ``max_broadcast_docs`` documents): the
+      gram→posting incidence is aggregated once (one small shuffle keyed by
+      gram), collected (~8 bytes/incidence), and broadcast; a narrow pass
+      over doc ids then intersects posting lists with one ``np.bincount``
+      per document and emits only the surviving pairs. Rationale (measured
+      at the 50k-doc bench scale): candidate pairs grow quadratically in
+      posting length — 127M candidate rows of which 114M are DISTINCT
+      pairs, so the pair-level shuffle+groupBy of the join route moves
+      ~127M nearly-unique rows to keep a few thousand survivors, while the
+      whole incidence structure is ~28k grams / 2.6M postings ≈ 25 MB.
+      Decide with small rows, never shuffle the quadratic intermediate
+      (optimization guide §8).
+    * **postings join** (above the cap): the shuffle-partitionable
+      inverted-index self-join — the 100 TB route, where no single
+      structure fits one machine and pair counts per gram are bounded by
+      ``max_postings``.
+    """
+    probe = documents.limit(max_broadcast_docs + 1).count()
+    if probe <= max_broadcast_docs:
+        return _ngram_jaccard_pairs_broadcast(documents, n, threshold, max_postings)
     grams = (
         _word_ngrams_pandas(documents, n)
         if gram_impl == "pandas"
@@ -148,6 +173,127 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_common", "jaccard_e6")
     )
     return out
+
+
+def _ngram_jaccard_pairs_broadcast(
+    documents: DataFrame, n: int, threshold: float, max_postings: int
+) -> DataFrame:
+    """Broadcast-postings route for :func:`ngram_jaccard_pairs`.
+
+    One shuffle total (grams → posting lists, keyed by gram — ~|vocab|
+    groups), one ~25 MB collect+broadcast of the incidence arrays, then a
+    narrow pass over doc ids: per document, concatenate the posting lists
+    of its grams and ``np.bincount`` them — the count vector IS the exact
+    per-pair intersection size, so the jaccard filter applies before any
+    pair row exists. Identical output to the join route (asserted in
+    tests/test_dedup_scale_guards.py)."""
+    spark = documents.sparkSession
+    grams = _word_ngrams_pandas(documents, n)
+    agg = grams.groupBy("gram").agg(F.collect_list("doc_id").alias("ids"))
+    pdf = agg.select("ids").toPandas()
+    id_type = documents.schema["doc_id"].dataType
+    thr_e6 = int(threshold * 1_000_000)
+    out_schema = StructType(
+        [
+            StructField("doc_a", id_type),
+            StructField("doc_b", id_type),
+            StructField("n_common", LongType()),
+            StructField("jaccard_e6", LongType()),
+        ]
+    )
+
+    ids_list = [np.asarray(x) for x in pdf["ids"]]
+    if ids_list:
+        inc_ids = np.concatenate(ids_list)
+        lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=len(ids_list))
+    else:
+        inc_ids = np.array([], dtype=np.int64)
+        lens = np.array([], dtype=np.int64)
+    # sorted unique ids define both the dense index and the `doc_a < doc_b`
+    # order (numeric for numeric ids; UTF-8 code-point order for strings —
+    # the same comparator Spark's `<` uses)
+    uniq_ids = np.unique(inc_ids)
+    n_docs = len(uniq_ids)
+    inc_doc = np.searchsorted(uniq_ids, inc_ids)
+    # |grams(doc)| over ALL grams (the join route computes sizes before the
+    # posting-length filter)
+    sizes = np.bincount(inc_doc, minlength=n_docs).astype(np.int64)
+    # posting-length guard (identical to the join route's window filter)
+    gram_idx = np.repeat(np.arange(len(lens)), lens)
+    keep = (lens > 1) & (lens <= max_postings)
+    mask = keep[gram_idx] if len(gram_idx) else np.array([], dtype=bool)
+    g_i = gram_idx[mask]
+    d_i = inc_doc[mask]
+    # CSR doc → kept grams
+    order_d = np.argsort(d_i, kind="stable")
+    doc_grams_flat = g_i[order_d]
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d_i, minlength=n_docs), out=doc_off[1:])
+    # CSR kept gram → posting doc idxs
+    order_g = np.argsort(g_i, kind="stable")
+    post_flat = d_i[order_g].astype(np.int64)
+    post_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(g_i, minlength=len(lens)), out=post_off[1:])
+
+    bc = spark.sparkContext.broadcast(
+        (uniq_ids, sizes, doc_grams_flat, doc_off, post_flat, post_off, thr_e6)
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        u_ids, szs, dg_flat, d_off, p_flat, p_off, thr = bc.value
+        nd = len(u_ids)
+        for pdf_b in batches:
+            out_a, out_b, out_nc, out_j = [], [], [], []
+            batch_ids = pdf_b["doc_id"].to_numpy()
+            if nd and len(batch_ids):
+                pos = np.searchsorted(u_ids, batch_ids)
+                pos = np.clip(pos, 0, nd - 1)
+                found = u_ids[pos] == batch_ids
+            else:
+                pos = np.zeros(len(batch_ids), dtype=np.int64)
+                found = np.zeros(len(batch_ids), dtype=bool)
+            for a_idx in pos[found]:
+                gs = dg_flat[d_off[a_idx] : d_off[a_idx + 1]]
+                if len(gs) == 0:
+                    continue
+                cat = np.concatenate([p_flat[p_off[g] : p_off[g + 1]] for g in gs])
+                cnt = np.bincount(cat, minlength=nd)
+                nz = np.nonzero(cnt)[0]
+                nz = nz[nz > a_idx]
+                if len(nz) == 0:
+                    continue
+                nc = cnt[nz].astype(np.int64)
+                jac = nc * 1_000_000 // (szs[a_idx] + szs[nz] - nc)
+                sel = jac >= thr
+                if not sel.any():
+                    continue
+                nz = nz[sel]
+                out_a.append(np.full(len(nz), u_ids[a_idx]))
+                out_b.append(u_ids[nz])
+                out_nc.append(nc[sel])
+                out_j.append(jac[sel])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "n_common": np.concatenate(out_nc),
+                        "jaccard_e6": np.concatenate(out_j),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": pd.Series([], dtype=object if uniq_ids.dtype == object else uniq_ids.dtype),
+                        "doc_b": pd.Series([], dtype=object if uniq_ids.dtype == object else uniq_ids.dtype),
+                        "n_common": pd.Series([], dtype=np.int64),
+                        "jaccard_e6": pd.Series([], dtype=np.int64),
+                    }
+                )
+
+    from ..pipeline.extract import _fan_out
+
+    return _fan_out(documents.select("doc_id")).mapInPandas(fn, out_schema)
 
 
 # ---------------------------------------------------------------------------

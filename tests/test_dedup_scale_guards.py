@@ -299,3 +299,45 @@ def test_ivf_lsh_prefix_hierarchical_shard(spark):
     assert len(rows) > 0
     for r in rows:
         assert buckets[r.query_id] == buckets[r.nbr_id]
+
+
+def test_ngram_jaccard_broadcast_equals_join(spark):
+    """The broadcast-postings route (r6 optimization) must emit exactly the
+    postings-join route's pairs — counts, fixed-point jaccard and all."""
+    from odinson_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_a", "doc_b", "n_common", "jaccard_e6"]
+    bcast = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).select(cols).collect()
+    )
+    join = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.05, max_broadcast_docs=0
+        ).select(cols).collect()
+    )
+    assert bcast == join and len(bcast) > 0
+
+
+def test_ngram_jaccard_broadcast_string_ids(spark):
+    """String doc ids order by UTF-8 code points in both routes."""
+    from odinson_spark.ops.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("b-doc", "one two three four five six"),
+        ("a-doc", "one two three four five seven"),
+        ("z-doc", "totally different words entirely here now"),
+        ("short", "one two"),  # fewer than n tokens -> no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    cols = ["doc_a", "doc_b", "n_common", "jaccard_e6"]
+    bcast = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.1).select(cols).collect())
+    join = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.1, max_broadcast_docs=0)
+        .select(cols)
+        .collect()
+    )
+    assert bcast == join
+    assert all(a < b for a, b, *_ in bcast)
