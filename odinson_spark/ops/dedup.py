@@ -341,31 +341,51 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # bucket stats via a window, not groupBy+join: one exchange on
-    # (band, band_key) that the self-join below then reuses
-    from pyspark.sql import Window
+    # ONE aggregation on (band, band_key) replaces the former window + self-
+    # join: each bucket's members arrive as one array and numpy emits the
+    # pairs (all-pairs under the cap, star above it) — no window sort, no
+    # second pass over the exchange, no row-at-a-time join output
+    # (optimization guide §2.4: two operations keyed the same way share one
+    # exchange; here they become one operator outright)
+    agg = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select("_ids")
+    )
+    id_type = documents.schema["doc_id"].dataType
+    pair_schema = StructType(
+        [StructField("doc_a", id_type), StructField("doc_b", id_type)]
+    )
 
-    w = Window.partitionBy("band", "band_key")
-    tagged = (
-        banded.withColumn("_n", F.count(F.lit(1)).over(w))
-        .withColumn("_min_id", F.min("doc_id").over(w))
-        .filter(F.col("_n") > 1)
-    )
-    small = tagged.filter(F.col("_n") <= max_bucket_size)
-    pairs_small = (
-        small.alias("x")
-        .join(
-            small.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    )
-    pairs_star = tagged.filter(
-        (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_min_id"))
-    ).select(F.col("_min_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return pairs_small.union(pairs_star).distinct()
+    def emit_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tri_cache: dict = {}
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            for ids in pdf["_ids"]:
+                arr = np.sort(np.asarray(ids))
+                c = len(arr)
+                if c <= max_bucket_size:
+                    tri = tri_cache.get(c)
+                    if tri is None:
+                        tri = np.triu_indices(c, k=1)
+                        # memoize small sizes only (large tri arrays are
+                        # quadratic in c — don't pin them per size)
+                        if c <= 256 and len(tri_cache) < 512:
+                            tri_cache[c] = tri
+                    out_a.append(arr[tri[0]])
+                    out_b.append(arr[tri[1]])
+                else:
+                    # star fallback: (min_id, other) keeps connectivity
+                    out_a.append(np.full(c - 1, arr[0]))
+                    out_b.append(arr[1:])
+            if out_a:
+                yield pd.DataFrame(
+                    {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+                )
+
+    return agg.mapInPandas(emit_pairs, pair_schema).distinct()
 
 
 def minhash_lsh_ctes(

@@ -88,9 +88,32 @@ def cosine_topk(
     k: int = 5,
     query_id: str = "vec_id",
     vec_id: str = "vec_id",
+    max_broadcast_queries: int = 8192,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query vector (self excluded).
-    Ties broken by neighbor id for determinism."""
+    Ties broken by neighbor id for determinism.
+
+    Query sets up to ``max_broadcast_queries`` take an Arrow-vectorized
+    route: the query matrix is broadcast, each corpus task scores its
+    batches with one numpy matmul and keeps only its LOCAL top-k per query
+    (the union of per-partition top-ks provably contains the global top-k),
+    so the window ranks ~tasks×|Q|×k candidate rows instead of |Q|×N
+    scored rows. The previous shape — a crossJoin scored by interpreted
+    ``aggregate``/``zip_with`` lambdas (never codegen) — paid ~4 s at the
+    50k×10 bench scale for what one matmul does in milliseconds
+    (optimization guide §4.2). Larger query sets keep the crossJoin."""
+    # probe+collect in one job: fetch at most cap+1 query rows; short result
+    # IS the broadcast payload, overflow falls through to the crossJoin
+    qpdf = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        .limit(max_broadcast_queries + 1)
+        .toPandas()
+    )
+    if len(qpdf) <= max_broadcast_queries:
+        return _cosine_topk_broadcast(embeddings, queries, k, query_id, vec_id, qpdf)
     base = embeddings.select(
         F.col(vec_id).alias("nbr_id"), F.col("embedding").cast("array<double>").alias("vb")
     )
@@ -102,6 +125,108 @@ def cosine_topk(
         q.crossJoin(F.broadcast(base) if base else base)
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def _cosine_topk_broadcast(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id: str,
+    vec_id: str,
+    qpdf,
+) -> DataFrame:
+    """Arrow-vectorized exact top-k: broadcast query matrix, numpy matmul
+    per corpus batch, per-task top-k, global window over the tiny union."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    q_ids = qpdf["query_id"].to_numpy()
+    if len(q_ids):
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["va"]])
+        q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    else:
+        q_mat = np.zeros((0, 1))
+        q_norms = np.zeros(0)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    id_type = embeddings.schema[vec_id].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id].dataType),
+            StructField("nbr_id", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        b_qids, b_qmat, b_qnorms = bc.value
+        nq = len(b_qids)
+        if nq == 0:
+            yield pd.DataFrame({"query_id": [], "nbr_id": [], "cosine": []})
+            return
+        # accumulate the task's candidates, cut to top-k once at task end
+        all_ids: list = []
+        all_sims: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf["nbr_id"].to_numpy()
+            n_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            n_norms = np.sqrt(np.einsum("ij,ij->i", n_mat, n_mat))
+            sims = np.round((b_qmat @ n_mat.T) / np.outer(b_qnorms, n_norms), 4)
+            all_ids.append(n_ids)
+            all_sims.append(sims)
+        if not all_ids:
+            yield pd.DataFrame({"query_id": [], "nbr_id": [], "cosine": []})
+            return
+        n_ids = np.concatenate(all_ids)
+        sims = np.concatenate(all_sims, axis=1)  # (nq, n_task)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(nq):
+            row = sims[qi]
+            ids = n_ids
+            mask = ids != b_qids[qi]  # self-exclusion
+            row = row[mask]
+            ids = ids[mask]
+            if len(ids) == 0:
+                continue
+            if len(ids) > k:
+                # k-th largest value bounds the exact top-k; ties at the cut
+                # stay in `cand` and the lexsort below breaks them by nbr_id
+                cut = np.partition(row, len(row) - k)[len(row) - k]
+                cand = np.nonzero(row >= cut)[0]
+            else:
+                cand = np.arange(len(ids))
+            order = np.lexsort((ids[cand], -row[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), b_qids[qi]))
+            out_n.append(ids[sel])
+            out_c.append(row[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "nbr_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+        else:
+            yield pd.DataFrame({"query_id": [], "nbr_id": [], "cosine": []})
+
+    scored = (
+        embeddings.select(
+            F.col(vec_id).alias("nbr_id"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        .mapInPandas(fn, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
