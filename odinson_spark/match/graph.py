@@ -23,7 +23,10 @@ from ..lang import ast
 
 
 class Digraph:
-    __slots__ = ("in_flat", "in_slices", "out_flat", "out_slices", "roots", "n")
+    __slots__ = (
+        "in_flat", "in_slices", "out_flat", "out_slices", "roots", "n",
+        "_in_l", "_in_sl", "_out_l", "_out_sl",
+    )
 
     def __init__(self, in_flat, in_slices, out_flat, out_slices, roots, n):
         self.in_flat = in_flat
@@ -32,6 +35,41 @@ class Digraph:
         self.out_slices = out_slices
         self.roots = roots
         self.n = n
+        # lazy python-list mirrors of the CSR arrays: adjacency segments are
+        # 1-3 entries, where plain list indexing beats numpy slicing ~5×
+        # (the traversal inner loop is step-at-a-time, not vectorizable)
+        self._in_l = None
+        self._in_sl = None
+        self._out_l = None
+        self._out_sl = None
+
+    def incoming_lists(self):
+        if self._in_l is None:
+            self._in_l = (
+                self.in_flat.tolist()
+                if hasattr(self.in_flat, "tolist")
+                else list(self.in_flat)
+            )
+            self._in_sl = (
+                self.in_slices.tolist()
+                if hasattr(self.in_slices, "tolist")
+                else list(self.in_slices)
+            )
+        return self._in_l, self._in_sl
+
+    def outgoing_lists(self):
+        if self._out_l is None:
+            self._out_l = (
+                self.out_flat.tolist()
+                if hasattr(self.out_flat, "tolist")
+                else list(self.out_flat)
+            )
+            self._out_sl = (
+                self.out_slices.tolist()
+                if hasattr(self.out_slices, "tolist")
+                else list(self.out_slices)
+            )
+        return self._out_l, self._out_sl
 
     @staticmethod
     def from_edges(n: int, edges: Sequence[Tuple[int, int, int]], roots=()) -> "Digraph":
@@ -74,12 +112,24 @@ class Digraph:
 class LabelVocab:
     """Batch-local edge-label vocabulary with cached matcher masks."""
 
-    __slots__ = ("labels", "index", "_mask_cache")
+    __slots__ = ("labels", "index", "_mask_cache", "_allowed_cache")
 
     def __init__(self, labels: Sequence[str]):
         self.labels = list(labels)
         self.index = {s: i for i, s in enumerate(self.labels)}
         self._mask_cache: Dict[object, np.ndarray] = {}
+        self._allowed_cache: Dict[object, frozenset] = {}
+
+    def matcher_allowed(self, matcher) -> frozenset:
+        """Allowed label ids as a frozenset — the traversal inner loop tests
+        membership per edge; a set lookup is ~an order of magnitude cheaper
+        than a numpy fancy-index + ``.any()`` on 1-3-edge segments (the
+        former hot path: 120k ``np.any`` calls per 2000-doc batch)."""
+        s = self._allowed_cache.get(matcher)
+        if s is None:
+            s = frozenset(int(i) for i in np.nonzero(self.matcher_mask(matcher))[0])
+            self._allowed_cache[matcher] = s
+        return s
 
     def matcher_mask(self, matcher) -> np.ndarray:
         """Boolean array over the vocabulary for a StringMatcher/RegexMatcher.
@@ -124,18 +174,18 @@ def _dedup_keep_order(nodes: List[int]) -> List[int]:
     return out
 
 
-def _step(graph: Digraph, flat, slices, node: int, mask: Optional[np.ndarray]) -> List[int]:
-    if node < 0 or node >= graph.n:
+def _step_nodes(
+    flat: List[int], slices: List[int], n: int, node: int, allowed
+) -> List[int]:
+    """One hop from ``node``: neighbor ids whose edge label is in
+    ``allowed`` (None = wildcard). Pure-python over the list-mirrored CSR —
+    adjacency segments are tiny, so list indexing beats numpy slicing."""
+    if node < 0 or node >= n:
         return []
-    a, b = int(slices[node]), int(slices[node + 1])
-    if a == b:
-        return []
-    seg = flat[a:b]
-    nbrs = seg[0::2]
-    if mask is None:
-        return nbrs.tolist()
-    labs = seg[1::2]
-    return nbrs[mask[labs]].tolist()
+    a, b = slices[node], slices[node + 1]
+    if allowed is None:
+        return flat[a:b:2]
+    return [flat[i] for i in range(a, b, 2) if flat[i + 1] in allowed]
 
 
 def traverse(tr, graph: Digraph, vocab: LabelVocab, start_nodes: List[int]) -> List[int]:
@@ -143,30 +193,34 @@ def traverse(tr, graph: Digraph, vocab: LabelVocab, start_nodes: List[int]) -> L
     if t is ast.NoTraversal:
         return list(start_nodes)
     if t is ast.IncomingWildcard:
+        flat, slices = graph.incoming_lists()
         out = []
         for nd in start_nodes:
-            out.extend(_step(graph, graph.in_flat, graph.in_slices, nd, None))
+            out.extend(_step_nodes(flat, slices, graph.n, nd, None))
         return _dedup_keep_order(out)
     if t is ast.OutgoingWildcard:
+        flat, slices = graph.outgoing_lists()
         out = []
         for nd in start_nodes:
-            out.extend(_step(graph, graph.out_flat, graph.out_slices, nd, None))
+            out.extend(_step_nodes(flat, slices, graph.n, nd, None))
         return _dedup_keep_order(out)
     if t is ast.IncomingTraversal:
-        mask = vocab.matcher_mask(tr.matcher)
-        if not mask.any():
+        allowed = vocab.matcher_allowed(tr.matcher)
+        if not allowed:
             return []
+        flat, slices = graph.incoming_lists()
         out = []
         for nd in start_nodes:
-            out.extend(_step(graph, graph.in_flat, graph.in_slices, nd, mask))
+            out.extend(_step_nodes(flat, slices, graph.n, nd, allowed))
         return _dedup_keep_order(out)
     if t is ast.OutgoingTraversal:
-        mask = vocab.matcher_mask(tr.matcher)
-        if not mask.any():
+        allowed = vocab.matcher_allowed(tr.matcher)
+        if not allowed:
             return []
+        flat, slices = graph.outgoing_lists()
         out = []
         for nd in start_nodes:
-            out.extend(_step(graph, graph.out_flat, graph.out_slices, nd, mask))
+            out.extend(_step_nodes(flat, slices, graph.n, nd, allowed))
         return _dedup_keep_order(out)
     if t is ast.ConcatenatedTraversal:
         current = list(start_nodes)
@@ -185,16 +239,64 @@ def traverse(tr, graph: Digraph, vocab: LabelVocab, start_nodes: List[int]) -> L
         out.extend(traverse(tr.traversal, graph, vocab, start_nodes))
         return _dedup_keep_order(out)
     if t is ast.KleeneStarTraversal:
-        # cycle-safe BFS fixpoint (GraphTraversal.scala:173-191)
-        seen: List[int] = []
+        # cycle-safe BFS fixpoint (GraphTraversal.scala:173-191); deque +
+        # extendleft(reversed(...)) reproduces the former
+        # `children + frontier` prepend order without O(frontier) copies
+        from collections import deque
+
+        sub = tr.traversal
+        st = type(sub)
+        # single-hop bodies (the overwhelmingly common `>lab*` / `<<*`
+        # shapes) inline the step: no per-node dispatch/recursion — the BFS
+        # was 124k recursive traverse() calls per 2000-doc batch before
+        one_hop = st in (
+            ast.OutgoingTraversal,
+            ast.IncomingTraversal,
+            ast.OutgoingWildcard,
+            ast.IncomingWildcard,
+        )
+        if one_hop:
+            if st is ast.OutgoingTraversal or st is ast.OutgoingWildcard:
+                flat, slices = graph.outgoing_lists()
+            else:
+                flat, slices = graph.incoming_lists()
+            allowed = None
+            if st is ast.OutgoingTraversal or st is ast.IncomingTraversal:
+                allowed = vocab.matcher_allowed(sub.matcher)
+                if not allowed:
+                    return _dedup_keep_order(list(start_nodes))
+            n = graph.n
+            seen: List[int] = []
+            seen_set = set()
+            frontier = deque(start_nodes)
+            while frontier:
+                node = frontier.popleft()
+                if node in seen_set:
+                    continue
+                seen_set.add(node)
+                seen.append(node)
+                if 0 <= node < n:
+                    a, b = slices[node], slices[node + 1]
+                    if allowed is None:
+                        children = flat[a:b:2]
+                    else:
+                        children = [
+                            flat[i] for i in range(a, b, 2) if flat[i + 1] in allowed
+                        ]
+                    if children:
+                        frontier.extendleft(reversed(children))
+            return seen
+        seen = []
         seen_set = set()
-        frontier = list(start_nodes)
+        frontier = deque(start_nodes)
         while frontier:
-            node = frontier.pop(0)
+            node = frontier.popleft()
             if node in seen_set:
                 continue
             seen_set.add(node)
             seen.append(node)
-            frontier = traverse(tr.traversal, graph, vocab, [node]) + frontier
+            children = traverse(sub, graph, vocab, [node])
+            if children:
+                frontier.extendleft(reversed(children))
         return seen
     raise TypeError(f"unknown traversal {tr!r}")

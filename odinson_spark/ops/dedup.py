@@ -190,7 +190,6 @@ def _ngram_jaccard_pairs_broadcast(
     spark = documents.sparkSession
     grams = _word_ngrams_pandas(documents, n)
     agg = grams.groupBy("gram").agg(F.collect_list("doc_id").alias("ids"))
-    pdf = agg.select("ids").toPandas()
     id_type = documents.schema["doc_id"].dataType
     thr_e6 = int(threshold * 1_000_000)
     out_schema = StructType(
@@ -202,36 +201,42 @@ def _ngram_jaccard_pairs_broadcast(
         ]
     )
 
-    ids_list = [np.asarray(x) for x in pdf["ids"]]
-    if ids_list:
-        inc_ids = np.concatenate(ids_list)
-        lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=len(ids_list))
+    # Arrow-native collect: the list column arrives as ONE flat child array
+    # plus offsets — no per-gram numpy conversion or 28k-array concatenate
+    tbl = agg.select("ids").toArrow()
+    col = tbl.column("ids").combine_chunks()
+    offsets = np.asarray(col.offsets)
+    flat = col.values
+    lens = np.diff(offsets).astype(np.int64)
+    import pyarrow as pa
+
+    if pa.types.is_string(flat.type) or pa.types.is_large_string(flat.type):
+        inc_ids = np.asarray(flat.to_pandas())  # object dtype, python compares
     else:
-        inc_ids = np.array([], dtype=np.int64)
-        lens = np.array([], dtype=np.int64)
+        inc_ids = flat.to_numpy(zero_copy_only=False)
     # sorted unique ids define both the dense index and the `doc_a < doc_b`
     # order (numeric for numeric ids; UTF-8 code-point order for strings —
     # the same comparator Spark's `<` uses)
-    uniq_ids = np.unique(inc_ids)
+    uniq_ids, inc_doc = np.unique(inc_ids, return_inverse=True)
     n_docs = len(uniq_ids)
-    inc_doc = np.searchsorted(uniq_ids, inc_ids)
     # |grams(doc)| over ALL grams (the join route computes sizes before the
     # posting-length filter)
     sizes = np.bincount(inc_doc, minlength=n_docs).astype(np.int64)
     # posting-length guard (identical to the join route's window filter)
-    gram_idx = np.repeat(np.arange(len(lens)), lens)
+    gram_idx = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
     keep = (lens > 1) & (lens <= max_postings)
     mask = keep[gram_idx] if len(gram_idx) else np.array([], dtype=bool)
     g_i = gram_idx[mask]
-    d_i = inc_doc[mask]
-    # CSR doc → kept grams
+    d_i = inc_doc[mask].astype(np.int32)
+    # CSR doc → kept grams (int32 throughout: halves broadcast bytes and
+    # per-worker deserialization)
     order_d = np.argsort(d_i, kind="stable")
     doc_grams_flat = g_i[order_d]
     doc_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(np.bincount(d_i, minlength=n_docs), out=doc_off[1:])
     # CSR kept gram → posting doc idxs
     order_g = np.argsort(g_i, kind="stable")
-    post_flat = d_i[order_g].astype(np.int64)
+    post_flat = d_i[order_g]
     post_off = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(np.bincount(g_i, minlength=len(lens)), out=post_off[1:])
 
