@@ -562,10 +562,21 @@ class TermIndex:
 
     def update_documents(self, sentences: DataFrame) -> None:
         """Reference updateOdinsonDoc: tombstone the old version, append the
-        new one (which lands at a later generation, so it stays visible)."""
-        ids = [r[0] for r in sentences.select("doc_id").distinct().collect()]
-        if ids:
-            self.delete_documents(ids)
+        new one (which lands at a later generation, so it stays visible).
+
+        The tombstones are written straight from the DataFrame — no driver
+        collect, so a bulk re-annotation of 10^8 docs never ships ids
+        through the driver."""
+        cutoff = int(self.meta.get("next_gen", 1))
+        target_type = dict(self.sentences.dtypes)["doc_id"]
+        tomb = (
+            sentences.select(F.col("doc_id").cast(target_type))
+            .distinct()
+            .withColumn("cutoff", F.lit(cutoff).cast("long"))
+        )
+        tomb.write.mode("append").parquet(os.path.join(self.path, self._TOMBSTONES))
+        self.meta["next_gen"] = cutoff + 1
+        self._write_meta()
         self.add_documents(sentences)
 
     def compact(self) -> None:
@@ -591,11 +602,18 @@ class TermIndex:
         )
         for sub in ("sentences", "postings", "stats"):
             old = os.path.join(self.path, sub)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
             new = os.path.join(rebuilt.path, sub)
+            bak = old + ".compacting"
+            # crash-safe swap: the current table is renamed ASIDE (not
+            # deleted) before the rebuilt one moves in, so an interruption
+            # leaves either the old or the new table present — never a
+            # meta file pointing at a missing directory
+            shutil.rmtree(bak, ignore_errors=True)
+            if os.path.isdir(old):
+                shutil.move(old, bak)
             if os.path.isdir(new):
                 shutil.move(new, old)
+            shutil.rmtree(bak, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, self._TOMBSTONES), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         self.meta["n_sentences"] = rebuilt.meta.get("n_sentences")
@@ -729,12 +747,16 @@ class TermIndex:
         fields, or the matched terms of a multi-term expansion).
 
         Null-preserving: rows from files written before positional postings
-        carry null positions ("unknown", not "none") — if every contributing
-        row is null, the key's positions must stay null so the phrase filter
-        keeps the row (degrades to key intersection) rather than dropping it
-        on an empty array."""
+        carry null positions ("unknown", not "none") — if ANY contributing
+        row is null, the union is incomplete evidence, so the key's
+        positions stay null and the phrase filter degrades to key
+        intersection (keeping the row) rather than pruning on a partial
+        list. ``count(positions) < count(*)`` detects the mixed case."""
         return df.groupBy(*self._KEYS).agg(
-            F.when(F.count("positions") == 0, F.lit(None).cast("array<int>"))
+            F.when(
+                F.count("positions") < F.count(F.lit(1)),
+                F.lit(None).cast("array<int>"),
+            )
             .otherwise(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("positions"))))
             )

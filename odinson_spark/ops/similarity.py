@@ -477,7 +477,7 @@ def trained_centroids_from_parquet(
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", train_sample)],
     )
-    df = tbl.to_pandas().sort_values("vec_id", kind="mergesort")
+    df = tbl.to_pandas().sort_values("vec_id", kind="mergesort").head(train_sample)
     if len(df) < train_sample:
         full = pq.read_table(path, columns=["vec_id", "embedding"])
         df = (
@@ -508,6 +508,10 @@ def _training_sample(embeddings: DataFrame, train_sample: int) -> np.ndarray:
         .filter(F.col("vec_id") < F.lit(train_sample))
         .toPandas()
         .sort_values("vec_id", kind="mergesort")
+        # duplicate vec_ids could push the id-range filter past
+        # train_sample rows; the documented rule is FIRST train_sample
+        # rows by vec_id (no-op for dense unique ids)
+        .head(train_sample)
     )
     if len(pdf) < train_sample:
         logger.info(

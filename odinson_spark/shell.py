@@ -127,6 +127,10 @@ class OdinsonShell:
             return True
         if line == ":exit":
             return False
+        # dispatch on the exact first token: prefix matching would treat
+        # ":indexes foo" as ":index" with path "es foo" instead of
+        # reporting an unknown command
+        cmd = line.split(None, 1)[0] if line.strip() else line
         if line == ":help":
             self._p(HELP)
         elif line == ":corpus":
@@ -137,7 +141,7 @@ class OdinsonShell:
                 f"extraTokenFields = {list(self.engine.extra_token_fields)}",
                 f"ruleFile = {self.rule_file}",
             )
-        elif line.startswith(":display"):
+        elif cmd == ":display":
             try:
                 self.page_size = max(1, int(line.split(None, 1)[1]))
                 self._p(f"will now display {self.page_size} results per page")
@@ -150,7 +154,7 @@ class OdinsonShell:
                 self._p("no more results")
             else:
                 self._show_page()
-        elif line.startswith(":buildindex"):
+        elif cmd == ":buildindex":
             try:
                 from .index import TermIndex
 
@@ -165,7 +169,7 @@ class OdinsonShell:
                 self._p("usage: :buildindex PATH")
             except Exception as e:
                 self._p(f"error: {e}")
-        elif line.startswith(":index"):
+        elif cmd == ":index":
             try:
                 from .index import TermIndex
 
@@ -180,7 +184,7 @@ class OdinsonShell:
                 self._p("usage: :index PATH")
             except Exception as e:
                 self._p(f"error: {e}")
-        elif line.startswith(":explain"):
+        elif cmd == ":explain":
             try:
                 pat = line.split(None, 1)[1]
                 if not hasattr(self.engine, "explain"):
@@ -193,7 +197,7 @@ class OdinsonShell:
                 self._p("usage: :explain PATTERN")
             except Exception as e:
                 self._p(f"error: {e}")
-        elif line.startswith(":load"):
+        elif cmd == ":load":
             try:
                 self._cmd_load(line.split(None, 1)[1])
             except IndexError:
@@ -219,7 +223,7 @@ class OdinsonShell:
                     self._cmd_extract_rules()
                 except Exception as e:  # runtime extraction error: stay alive
                     self._p(f"error: {e}")
-        elif line.startswith(":mkdoc"):
+        elif cmd == ":mkdoc":
             try:
                 self._cmd_mkdoc(line.split(None, 1)[1])
             except IndexError:
