@@ -48,12 +48,16 @@ def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_documents(_t(spark, sf_dir, "documents"))
 
 
-def _run_pattern(spark, sf_dir, pattern: str, use_state: bool = False) -> DataFrame:
+def _run_pattern(
+    spark, sf_dir, pattern: str, use_state: bool = False, project=None
+) -> DataFrame:
     """Extraction queries run through the fused one-shot path (annotate+match
     in one narrow stage); results are identical to the staged
     tokenize→prefilter→match path (asserted by
     tests/test_plans.py::test_fused_equals_staged), just with one Arrow
-    round-trip instead of two."""
+    round-trip instead of two. ``project`` limits which mention columns the
+    Python stage emits (span queries read 4-5 of the 12 — the rest would
+    only burn Arrow bytes)."""
     grammar_rules = pattern if pattern.lstrip().startswith("rules:") else None
     if grammar_rules is None:
         grammar = f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
@@ -61,12 +65,16 @@ def _run_pattern(spark, sf_dir, pattern: str, use_state: bool = False) -> DataFr
         grammar = pattern
     extractors, _ = RuleReader().compile_rules(grammar)
     return extract_one_shot(
-        _t(spark, sf_dir, "documents"), extractors, use_state=use_state
+        _t(spark, sf_dir, "documents"), extractors, use_state=use_state,
+        project=project,
     )
 
 
 def _mention_spans(spark, sf_dir, pattern: str, rule: str | None = None, use_state=False) -> DataFrame:
-    m = _run_pattern(spark, sf_dir, pattern, use_state)
+    m = _run_pattern(
+        spark, sf_dir, pattern, use_state,
+        project=("doc_id", "start", "end", "text", "found_by"),
+    )
     if rule:
         m = m.filter(F.col("found_by") == rule)
     return (
@@ -178,7 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pat_lookbehind"] = lambda s, d: _mention_spans(s, d, "(?<= scan) []")
 
     def pat_capture(s, d):
-        m = _run_pattern(s, d, "(?<left> join) small")
+        m = _run_pattern(
+            s, d, "(?<left> join) small",
+            project=("doc_id", "start", "end", "captures"),
+        )
         cap = F.element_at("captures", 1)
         return m.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -227,7 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _code_pattern(s, d, pattern):
         grammar = f"rules:\n  - name: q\n    type: basic\n    pattern: |\n      {pattern}\n"
         extractors, _ = RuleReader().compile_rules(grammar)
-        m = extract_one_shot(_code_docs(s, d), extractors, mode="code")
+        m = extract_one_shot(
+            _code_docs(s, d), extractors, mode="code",
+            project=("doc_id", "start", "end", "text"),
+        )
         return (
             m.select(
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -292,7 +306,8 @@ rules:
     def event_arg_filter(s, d):
         extractors, _ = RuleReader().compile_rules(FILTER_GRAMMAR)
         m = extract_one_shot(
-            _code_docs(s, d), extractors, mode="code", use_state=True
+            _code_docs(s, d), extractors, mode="code", use_state=True,
+            project=("doc_id", "found_by", "captures"),
         )
         cap = F.explode("captures")
         return (
@@ -469,7 +484,9 @@ rules:
         extractors, _ = RuleReader().compile_rules(
             "rules:\n  - name: q\n    type: basic\n    pattern: |\n      spark\n"
         )
-        m = extract_one_shot(docs, extractors)
+        m = extract_one_shot(
+            docs, extractors, project=("doc_id", "start", "end", "text")
+        )
         return m.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("start").alias("mstart"),

@@ -366,9 +366,19 @@ def batch_from_pandas(
 _MENTION_COLS = [f.name for f in MENTIONS_SCHEMA.fields]
 
 
-def _mention_frame(mentions, idx_by_key, raws, shas, EventMatch) -> pd.DataFrame:
+def _mention_frame(
+    mentions, idx_by_key, raws, shas, EventMatch, cols=None
+) -> pd.DataFrame:
     """Mentions → pandas frame, built column-wise (dict-of-lists): one
-    DataFrame construction per batch instead of one dict per mention row."""
+    DataFrame construction per batch instead of one dict per mention row.
+
+    ``cols`` — optional subset of mention columns to build; the capture
+    structs and span-text joins are skipped entirely when unrequested, and
+    only the requested columns cross the Arrow boundary."""
+    out_cols = _MENTION_COLS if cols is None else [c for c in _MENTION_COLS if c in set(cols)]
+    want = set(out_cols)
+    need_caps = "captures" in want
+    need_text = "text" in want
     c_doc, c_sent, c_sha, c_label, c_found, c_start, c_end, c_text = (
         [], [], [], [], [], [], [], [],
     )
@@ -377,16 +387,21 @@ def _mention_frame(mentions, idx_by_key, raws, shas, EventMatch) -> pd.DataFrame
         i = idx_by_key[(m.doc_id, m.sent_id)]
         toks = raws[i]
         is_event = isinstance(m.match, EventMatch)
-        caps = [
-            {
-                "name": c.name,
-                "label": c.label,
-                "start": c.match.start,
-                "end": c.match.end,
-                "text": " ".join(toks[c.match.start : c.match.end]),
-            }
-            for c in (m.match.captures if is_event else m.match.named_captures())
-        ]
+        if need_caps:
+            c_caps.append(
+                [
+                    {
+                        "name": c.name,
+                        "label": c.label,
+                        "start": c.match.start,
+                        "end": c.match.end,
+                        "text": " ".join(toks[c.match.start : c.match.end]),
+                    }
+                    for c in (
+                        m.match.captures if is_event else m.match.named_captures()
+                    )
+                ]
+            )
         c_doc.append(m.doc_id)
         c_sent.append(m.sent_id)
         c_sha.append(shas[i])
@@ -394,32 +409,30 @@ def _mention_frame(mentions, idx_by_key, raws, shas, EventMatch) -> pd.DataFrame
         c_found.append(m.found_by)
         c_start.append(m.start)
         c_end.append(m.end)
-        c_text.append(" ".join(toks[m.start : m.end]))
+        if need_text:
+            c_text.append(" ".join(toks[m.start : m.end]))
         c_isev.append(is_event)
         c_tstart.append(m.match.trigger.start if is_event else None)
         c_tend.append(m.match.trigger.end if is_event else None)
-        c_caps.append(caps)
     if not c_doc:
         # empty dict-of-lists would infer float64 columns, which Arrow can't
         # cast to list<struct>; the empty-constructor keeps object dtype
-        return pd.DataFrame(columns=_MENTION_COLS)
-    return pd.DataFrame(
-        {
-            "doc_id": c_doc,
-            "sent_id": c_sent,
-            "content_sha": c_sha,
-            "label": c_label,
-            "found_by": c_found,
-            "start": c_start,
-            "end": c_end,
-            "text": c_text,
-            "is_event": c_isev,
-            "trigger_start": c_tstart,
-            "trigger_end": c_tend,
-            "captures": c_caps,
-        },
-        columns=_MENTION_COLS,
-    )
+        return pd.DataFrame(columns=out_cols)
+    data = {
+        "doc_id": c_doc,
+        "sent_id": c_sent,
+        "content_sha": c_sha,
+        "label": c_label,
+        "found_by": c_found,
+        "start": c_start,
+        "end": c_end,
+        "text": c_text,
+        "is_event": c_isev,
+        "trigger_start": c_tstart,
+        "trigger_end": c_tend,
+        "captures": c_caps,
+    }
+    return pd.DataFrame({k: data[k] for k in out_cols}, columns=out_cols)
 
 
 def required_columns(

@@ -92,9 +92,18 @@ def extract_one_shot(
     use_state: bool = False,
     max_tokens: int = 100,
     apply_text_prefilter: bool = True,
+    project: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """documents(doc_id, text[, …]) or repos(repo, path, commit, lang,
-    content) → mentions DataFrame, one fused Python stage."""
+    content) → mentions DataFrame, one fused Python stage.
+
+    ``project`` — optional subset of mention columns to EMIT from the
+    Python stage. Column pruning cannot see through mapInPandas, so a
+    query that only reads (doc_id, start, end, text) otherwise pays Arrow
+    serialization for every column of every mention — at 1.6M mentions the
+    unread content_sha strings alone are ~100 MB of boundary traffic
+    (optimization guide §4.1: pass only the columns the function needs, in
+    both directions). None = the full MENTIONS_SCHEMA."""
     annotate = annotate_text if mode == "text" else annotate_code
     is_repos = mode == "code" and "content" in documents.columns
 
@@ -147,10 +156,21 @@ def extract_one_shot(
                 mentions = runner.extract_no_state(batch, doc_ids, sent_ids)
             idx = {(doc_ids[i], sent_ids[i]): i for i in range(len(doc_ids))}
             yield _mention_frame(
-                mentions, idx, batch.raw_layers["raw"], shas, EventMatch
+                mentions, idx, batch.raw_layers["raw"], shas, EventMatch,
+                cols=project,
             )
+
+    out_schema = MENTIONS_SCHEMA
+    if project is not None:
+        keep = set(project)
+        unknown = keep - {f.name for f in MENTIONS_SCHEMA.fields}
+        if unknown:
+            raise ValueError(f"unknown mention columns: {sorted(unknown)}")
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType([f for f in MENTIONS_SCHEMA.fields if f.name in keep])
 
     cols = ["doc_id", "text"] if not is_repos else ["repo", "path", "commit", "content"]
     return documents.select(*[c for c in cols if c in documents.columns]).mapInPandas(
-        fn, MENTIONS_SCHEMA
+        fn, out_schema
     )
