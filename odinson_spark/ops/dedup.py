@@ -231,9 +231,6 @@ def _ngram_jaccard_pairs_broadcast(
     partials = _fan_out(documents.select("doc_id", "text")).mapInPandas(
         partial_fn, partial_schema
     )
-    agg = partials.groupBy("gram").agg(
-        F.flatten(F.collect_list("ids")).alias("ids")
-    )
     thr_e6 = int(threshold * 1_000_000)
     out_schema = StructType(
         [
@@ -244,29 +241,53 @@ def _ngram_jaccard_pairs_broadcast(
         ]
     )
 
-    # Arrow-native collect: the list column arrives as ONE flat child array
-    # plus offsets — no per-gram numpy conversion or 28k-array concatenate
-    tbl = agg.select("ids").toArrow()
+    # Arrow-native collect of the per-task partials — NO Spark aggregation:
+    # merging ≤ tasks×|vocab| partial rows is a driver-side factorize over
+    # the gram strings, which costs less than an extra exchange +
+    # ObjectHashAggregate round trip. The list column arrives as ONE flat
+    # child array plus offsets (no per-row conversion).
+    tbl = partials.toArrow()
     col = tbl.column("ids").combine_chunks()
     offsets = np.asarray(col.offsets)
     flat = col.values
-    lens = np.diff(offsets).astype(np.int64)
+    plens = np.diff(offsets).astype(np.int64)
     import pyarrow as pa
 
     if pa.types.is_string(flat.type) or pa.types.is_large_string(flat.type):
         inc_ids = np.asarray(flat.to_pandas())  # object dtype, python compares
     else:
         inc_ids = flat.to_numpy(zero_copy_only=False)
+    # merge partials: factorize gram strings → gram codes; per-gram posting
+    # length = sum of its partial lengths (posting ORDER within a gram is
+    # irrelevant — the pass below only counts)
+    gram_codes, _ = pd.factorize(np.asarray(tbl.column("gram").combine_chunks()))
+    n_grams = int(gram_codes.max()) + 1 if len(gram_codes) else 0
+    lens = np.bincount(gram_codes, weights=plens, minlength=n_grams).astype(np.int64)
     # sorted unique ids define both the dense index and the `doc_a < doc_b`
     # order (numeric for numeric ids; UTF-8 code-point order for strings —
-    # the same comparator Spark's `<` uses)
-    uniq_ids, inc_doc = np.unique(inc_ids, return_inverse=True)
+    # the same comparator Spark's `<` uses). Dense non-negative integer ids
+    # (the common corpus shape) take an O(n) presence-mask path instead of
+    # np.unique's sort.
+    if (
+        len(inc_ids)
+        and inc_ids.dtype.kind in "iu"
+        and int(inc_ids.min()) >= 0
+        and int(inc_ids.max()) < max(10_000_000, 20 * len(inc_ids))
+    ):
+        mx = int(inc_ids.max())
+        present = np.zeros(mx + 1, dtype=bool)
+        present[inc_ids] = True
+        uniq_ids = np.nonzero(present)[0].astype(inc_ids.dtype)
+        rank = np.cumsum(present) - 1
+        inc_doc = rank[inc_ids]
+    else:
+        uniq_ids, inc_doc = np.unique(inc_ids, return_inverse=True)
     n_docs = len(uniq_ids)
     # |grams(doc)| over ALL grams (the join route computes sizes before the
     # posting-length filter)
     sizes = np.bincount(inc_doc, minlength=n_docs).astype(np.int64)
     # posting-length guard (identical to the join route's window filter)
-    gram_idx = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    gram_idx = np.repeat(gram_codes.astype(np.int32), plens)
     keep = (lens > 1) & (lens <= max_postings)
     mask = keep[gram_idx] if len(gram_idx) else np.array([], dtype=bool)
     g_i = gram_idx[mask]
