@@ -103,7 +103,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_postings: int = 10000,
     gram_impl: str = "pandas",
-    max_broadcast_docs: int = 250_000,
+    max_broadcast_docs: int = 600_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs (integer fixed-point, ≥ threshold).
 
@@ -173,6 +173,11 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_common", "jaccard_e6")
     )
     return out
+
+
+# past this many documents the pass-B counting switches from bincount
+# (O(n_docs) alloc per doc) to sort+run-length (O(candidate incidences))
+_BINCOUNT_MAX_DOCS = 200_000
 
 
 def _ngram_jaccard_pairs_broadcast(
@@ -307,6 +312,7 @@ def _ngram_jaccard_pairs_broadcast(
     bc = spark.sparkContext.broadcast(
         (uniq_ids, sizes, doc_grams_flat, doc_off, post_flat, post_off, thr_e6)
     )
+    bincount_max = _BINCOUNT_MAX_DOCS  # captured at driver (testable)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         u_ids, szs, dg_flat, d_off, p_flat, p_off, thr = bc.value
@@ -321,17 +327,31 @@ def _ngram_jaccard_pairs_broadcast(
             else:
                 pos = np.zeros(len(batch_ids), dtype=np.int64)
                 found = np.zeros(len(batch_ids), dtype=bool)
+            # counting strategy: bincount allocates+scans an nd-sized vector
+            # per document — ideal while nd is small, quadratic-ish overhead
+            # as the corpus grows; past the threshold a sort+run-length over
+            # the ~|Σ postings| concat is cheaper (work stays proportional
+            # to the candidate incidences, not to nd)
+            use_bincount = nd <= bincount_max
             for a_idx in pos[found]:
                 gs = dg_flat[d_off[a_idx] : d_off[a_idx + 1]]
                 if len(gs) == 0:
                     continue
                 cat = np.concatenate([p_flat[p_off[g] : p_off[g + 1]] for g in gs])
-                cnt = np.bincount(cat, minlength=nd)
-                nz = np.nonzero(cnt)[0]
-                nz = nz[nz > a_idx]
-                if len(nz) == 0:
-                    continue
-                nc = cnt[nz].astype(np.int64)
+                if use_bincount:
+                    cnt = np.bincount(cat, minlength=nd)
+                    nz = np.nonzero(cnt)[0]
+                    nz = nz[nz > a_idx]
+                    if len(nz) == 0:
+                        continue
+                    nc = cnt[nz].astype(np.int64)
+                else:
+                    nz, nc = np.unique(cat, return_counts=True)
+                    keep_b = nz > a_idx
+                    nz = nz[keep_b]
+                    if len(nz) == 0:
+                        continue
+                    nc = nc[keep_b].astype(np.int64)
                 jac = nc * 1_000_000 // (szs[a_idx] + szs[nz] - nc)
                 sel = jac >= thr
                 if not sel.any():

@@ -341,3 +341,20 @@ def test_ngram_jaccard_broadcast_string_ids(spark):
     )
     assert bcast == join
     assert all(a < b for a, b, *_ in bcast)
+
+
+def test_ngram_jaccard_sort_unique_branch(spark, monkeypatch):
+    """The large-corpus counting strategy (sort+run-length instead of
+    bincount) must emit identical pairs."""
+    from odinson_spark.ops import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_a", "doc_b", "n_common", "jaccard_e6"]
+    base = sorted(
+        tuple(r) for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.05).select(cols).collect()
+    )
+    monkeypatch.setattr(dd, "_BINCOUNT_MAX_DOCS", 0)
+    alt = sorted(
+        tuple(r) for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.05).select(cols).collect()
+    )
+    assert base == alt and len(base) > 0
