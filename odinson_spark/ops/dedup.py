@@ -126,7 +126,11 @@ def ngram_jaccard_pairs(
       structure fits one machine and pair counts per gram are bounded by
       ``max_postings``.
     """
-    probe = documents.limit(max_broadcast_docs + 1).count()
+    # plain count(), not limit(n+1).count(): a parquet count compiles to a
+    # row-group-count scan with no columns materialized, while the limit
+    # form reads (part of) a real column; for raw reads this is the cheaper
+    # probe and for filtered inputs both scan once
+    probe = documents.count()
     if probe <= max_broadcast_docs:
         return _ngram_jaccard_pairs_broadcast(documents, n, threshold, max_postings)
     grams = (
@@ -206,16 +210,28 @@ def _ngram_jaccard_pairs_broadcast(
         # rows at bench scale), so emitting one (gram, ids) row per task
         # instead of one row per (doc, gram) cuts the shuffle row count
         # ~30× — map-side combine for an ObjectHashAggregate that has none
-        # (optimization guide §2.3: aggregate before you shuffle)
+        # (optimization guide §2.3: aggregate before you shuffle).
+        # Grams are CHARACTER SLICES between space offsets — identical
+        # strings to " ".join(tokens[i:i+n]) because tokens come from
+        # split(" ") on single spaces, and a C-level slice beats n string
+        # joins per gram.
         acc: dict = {}
         for pdf in batches:
             for doc, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = (text or "").split(" ")
-                if len(toks) < n:
+                t = text or ""
+                # space offsets: gram i spans (sp[i], sp[i+n]) exclusive
+                sp = [-1]
+                find = t.find
+                j = find(" ")
+                while j != -1:
+                    sp.append(j)
+                    j = find(" ", j + 1)
+                sp.append(len(t))
+                if len(sp) - 1 < n:  # token count = len(sp) - 1
                     continue
                 seen = set()
-                for i in range(len(toks) - n + 1):
-                    g = " ".join(toks[i : i + n])
+                for i in range(len(sp) - n):
+                    g = t[sp[i] + 1 : sp[i + n]]
                     if g not in seen:
                         seen.add(g)
                         acc.setdefault(g, []).append(doc)
@@ -414,7 +430,8 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = add_minhash(
-        documents.select("doc_id", "text"), "text", n_hashes=n_hashes, k=k, seed=seed
+        documents.select("doc_id", "text"), "text", n_hashes=n_hashes, k=k, seed=seed,
+        project_out=("doc_id",),  # don't ship text back across Arrow
     )
     banded = sig.select(
         "doc_id",

@@ -22,7 +22,7 @@ surfaces (e.g. empty strings) is capped via ``max_bucket_size``.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -126,7 +126,7 @@ def minhash_signature(s: str, n_hashes: int, k: int, a, b) -> List[int]:
 def _mulmod_mersenne61(a_vec: np.ndarray, h_vec: np.ndarray) -> np.ndarray:
     """Exact ``(a ⊗ h) mod (2^61 - 1)`` as an outer product in pure uint64.
 
-    The 122-bit product is decomposed over 30/31-bit halves; 2^61 ≡ 2
+    The 122-bit product is decomposed over 30/31-bit halves; 2^61 ≡ 1
     (mod p) folds every partial back under 64 bits, so the result is
     bit-identical to Python-bigint ``(a * h) % p`` (pinned by
     tests/test_ops_and_kg.py::test_mersenne_mulmod_matches_bigint) with no
@@ -199,19 +199,27 @@ def add_minhash(
     k: int = 3,
     seed: int = 42,
     out_col: str = "minhash",
+    project_out: "Sequence[str] | None" = None,
 ) -> DataFrame:
+    """``project_out`` — optional subset of input columns to carry through
+    the Python stage alongside the signature. Column pruning cannot see
+    through mapInPandas, so callers that only need (id, signature) should
+    not pay Arrow serialization to ship the text column back out."""
     from ..pipeline.extract import _fan_out
 
     df = _fan_out(df)  # signature stage is CPU-bound; small inputs often
     # arrive as one split and would otherwise run single-task
     a, b = _hash_params(n_hashes, seed)
-    out_schema = StructType(df.schema.fields + [StructField(out_col, ArrayType(LongType()))])
+    keep = list(df.columns) if project_out is None else list(project_out)
+    out_schema = StructType(
+        [df.schema[c] for c in keep] + [StructField(out_col, ArrayType(LongType()))]
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = batch_signatures(list(pdf[text_col]), n_hashes, k, a, b)
-            yield pdf
+            out = pdf[keep].copy()
+            out[out_col] = batch_signatures(list(pdf[text_col]), n_hashes, k, a, b)
+            yield out
 
     return df.mapInPandas(fn, out_schema)
 
@@ -254,7 +262,10 @@ def lsh_candidate_pairs(
         )
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sig = add_minhash(df.select(id_col, text_col), text_col, n_hashes, k, seed)
+    sig = add_minhash(
+        df.select(id_col, text_col), text_col, n_hashes, k, seed,
+        project_out=(id_col,),
+    )
     banded = sig.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
