@@ -30,10 +30,17 @@ MUTATION_RATE = 0.10
 VOCAB_SIZE = 4096
 
 
-def _mutate_fn(vocab: list[str], rate: float):
+def _mutate_fn(vocab: list[str], rate: float, zipf_a: float | None = None):
     """mapInPandas generator: seeded per-(doc,copy) token swaps. Tool-side
     only (corpus generation), so the per-token Python loop is acceptable;
-    batches still move via Arrow."""
+    batches still move via Arrow.
+
+    ``zipf_a`` — when set, replacement tokens are drawn from a SYNTHETIC
+    Zipf-distributed vocabulary (``zw<k>``, P(k) ∝ k^-a) instead of the
+    corpus vocabulary: rank-1 terms become stop-word-class (docFreq ≈
+    corpus), deep-tail terms are naturally selective (docFreq 1..10), so
+    the index cost model's scan-vs-index routing is exercised by NATURAL
+    terms, not injected markers (round-5 verdict item 5)."""
     import numpy as np
 
     def fn(batches):
@@ -49,9 +56,14 @@ def _mutate_fn(vocab: list[str], rate: float):
                 seed = zlib.crc32(f"{int(orig_id)}:{int(copy)}".encode()) & 0x7FFFFFFF
                 rng = np.random.RandomState(seed)
                 hit = np.nonzero(rng.random_sample(len(toks)) < rate)[0]
-                repl = rng.randint(0, len(vocab), size=len(hit))
-                for i, r in zip(hit, repl):
-                    toks[i] = vocab[r]
+                if zipf_a is not None:
+                    ranks = rng.zipf(zipf_a, size=len(hit))
+                    for i, r in zip(hit, ranks):
+                        toks[i] = f"zw{int(r)}"
+                else:
+                    repl = rng.randint(0, len(vocab), size=len(hit))
+                    for i, r in zip(hit, repl):
+                        toks[i] = vocab[r]
                 texts.append(" ".join(toks))
             pdf = pdf.copy()
             pdf["text"] = texts
@@ -70,6 +82,9 @@ SRC = "/root/testdata/sf0.1"
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".benchdata/sfbig")
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional third arg: zipf exponent for a synthetic skewed vocabulary
+    # (e.g. 1.3); default keeps the uniform corpus-vocab mutation
+    zipf_a = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F
     from odinson_spark.session import get_spark
@@ -113,7 +128,7 @@ def main():
         for f in docs.schema.fields
     ) + ", _copy bigint"
     (
-        big_docs.mapInPandas(_mutate_fn(vocab, MUTATION_RATE), schema=out_schema)
+        big_docs.mapInPandas(_mutate_fn(vocab, MUTATION_RATE, zipf_a), schema=out_schema)
         .drop("_copy")
         .repartition(32)
         .write.mode("overwrite")
