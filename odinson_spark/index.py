@@ -322,6 +322,14 @@ class TermIndex:
         from pyspark.sql.types import StructType
 
         p = os.path.join(self.path, sub)
+        # crash recovery: compact() renames the current table aside before
+        # moving the rebuilt one in; an interruption in that window leaves
+        # only <table>.compacting — restore it so the index stays readable
+        bak = p + ".compacting"
+        if not os.path.isdir(p) and os.path.isdir(bak):
+            import shutil
+
+            shutil.move(bak, p)
         sch = (self.meta.get("schemas") or {}).get(sub)
         if sch:
             return self.spark.read.schema(
@@ -605,9 +613,10 @@ class TermIndex:
             new = os.path.join(rebuilt.path, sub)
             bak = old + ".compacting"
             # crash-safe swap: the current table is renamed ASIDE (not
-            # deleted) before the rebuilt one moves in, so an interruption
-            # leaves either the old or the new table present — never a
-            # meta file pointing at a missing directory
+            # deleted) before the rebuilt one moves in; if interrupted
+            # between the two moves, _read_table restores the .compacting
+            # copy on the next open — either the old or the new table is
+            # always recoverable
             shutil.rmtree(bak, ignore_errors=True)
             if os.path.isdir(old):
                 shutil.move(old, bak)

@@ -387,10 +387,14 @@ def _ngram_jaccard_pairs_broadcast(
                     }
                 )
             else:
+                # dtype from the broadcast value — naming driver-local
+                # uniq_ids here would pickle the whole id array into the
+                # task closure alongside the broadcast
+                id_dtype = object if u_ids.dtype == object else u_ids.dtype
                 yield pd.DataFrame(
                     {
-                        "doc_a": pd.Series([], dtype=object if uniq_ids.dtype == object else uniq_ids.dtype),
-                        "doc_b": pd.Series([], dtype=object if uniq_ids.dtype == object else uniq_ids.dtype),
+                        "doc_a": pd.Series([], dtype=id_dtype),
+                        "doc_b": pd.Series([], dtype=id_dtype),
                         "n_common": pd.Series([], dtype=np.int64),
                         "jaccard_e6": pd.Series([], dtype=np.int64),
                     }
@@ -424,9 +428,15 @@ def minhash_lsh_pairs(
     Buckets above ``max_bucket_size`` switch to STAR pairs — (min_id, other)
     for every other member, k-1 rows — which preserves dedup connectivity
     exactly (connected components are unchanged) while bounding output.
-    Both paths avoid collect_list, so no single row ever holds a giant
-    bucket. The SQL oracle reproduces the all-pairs path bit-for-bit as long
-    as no bucket exceeds the cap (true at gate scale by construction)."""
+    The SQL oracle reproduces the all-pairs path bit-for-bit as long
+    as no bucket exceeds the cap (true at gate scale by construction).
+
+    Memory guard: the fused collect_list aggregation materializes each
+    bucket as ONE array row, so over-cap buckets are split off FIRST — a
+    count aggregation (partial-agg, no arrays, spill-safe) over the
+    persisted banding finds them (FEW by definition: each holds >
+    ``max_bucket_size`` members), their star pairs come from a streaming
+    min-join, and only provably-small buckets go through collect_list."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = add_minhash(
@@ -447,17 +457,29 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # ONE aggregation on (band, band_key) replaces the former window + self-
-    # join: each bucket's members arrive as one array and numpy emits the
-    # pairs (all-pairs under the cap, star above it) — no window sort, no
-    # second pass over the exchange, no row-at-a-time join output
-    # (optimization guide §2.4: two operations keyed the same way share one
-    # exchange; here they become one operator outright)
-    agg = (
-        banded.groupBy("band", "band_key")
-        .agg(F.collect_list("doc_id").alias("_ids"))
-        .filter(F.size("_ids") > 1)
-        .select("_ids")
+    # ONE window over (band, band_key) tags every row with its bucket size
+    # and bucket min (one exchange + one sort — no self-join, and no
+    # collect_list: a bucket NEVER materializes as a single row, so a
+    # degenerate everything-in-one-bucket corpus streams through the
+    # emitter below with O(max_bucket_size) memory). WindowExec sorts each
+    # physical partition by the partition keys, so bucket rows arrive
+    # CONTIGUOUSLY in the mapInPandas below — it walks the stream, buffers
+    # at most max_bucket_size ids for an all-pairs bucket, and emits star
+    # pairs row-by-row for over-cap buckets (optimization guide §2.4:
+    # operations keyed the same way share one exchange).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    wo = w.orderBy("doc_id")
+    # rn==1 marks a bucket boundary AND (rows being doc_id-sorted within
+    # the bucket) the bucket minimum — so the Python stage needs neither
+    # the ~150-byte band_key strings nor a _min column: 3 narrow columns
+    # cross Arrow instead of 5 wide ones
+    tagged = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_n") > 1)
+        .select("doc_id", "_n", "_rn")
     )
     id_type = documents.schema["doc_id"].dataType
     pair_schema = StructType(
@@ -466,32 +488,57 @@ def minhash_lsh_pairs(
 
     def emit_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tri_cache: dict = {}
+        state = {"ids": [], "first": None}
+
+        def flush(out_a, out_b):
+            ids = state["ids"]
+            if len(ids) > 1:
+                # already ascending (window rows are doc_id-sorted)
+                arr = np.asarray(ids)
+                c = len(arr)
+                tri = tri_cache.get(c)
+                if tri is None:
+                    tri = np.triu_indices(c, k=1)
+                    # memoize small sizes only (tri arrays are quadratic
+                    # in c — don't pin large ones per size)
+                    if c <= 256 and len(tri_cache) < 512:
+                        tri_cache[c] = tri
+                out_a.append(arr[tri[0]])
+                out_b.append(arr[tri[1]])
+            state["ids"] = []
+
         for pdf in batches:
             out_a: list = []
             out_b: list = []
-            for ids in pdf["_ids"]:
-                arr = np.sort(np.asarray(ids))
-                c = len(arr)
-                if c <= max_bucket_size:
-                    tri = tri_cache.get(c)
-                    if tri is None:
-                        tri = np.triu_indices(c, k=1)
-                        # memoize small sizes only (large tri arrays are
-                        # quadratic in c — don't pin them per size)
-                        if c <= 256 and len(tri_cache) < 512:
-                            tri_cache[c] = tri
-                    out_a.append(arr[tri[0]])
-                    out_b.append(arr[tri[1]])
-                else:
-                    # star fallback: (min_id, other) keeps connectivity
-                    out_a.append(np.full(c - 1, arr[0]))
-                    out_b.append(arr[1:])
+            star_a: list = []
+            star_b: list = []
+            for doc, n_, rn in zip(pdf["doc_id"], pdf["_n"], pdf["_rn"]):
+                if rn == 1:
+                    flush(out_a, out_b)
+                    state["first"] = doc
+                if n_ <= max_bucket_size:
+                    state["ids"].append(doc)
+                elif rn > 1:
+                    # star fallback: (min_id, other) keeps connectivity,
+                    # streamed — nothing buffered for over-cap buckets
+                    star_a.append(state["first"])
+                    star_b.append(doc)
+            if star_a:
+                out_a.append(np.asarray(star_a))
+                out_b.append(np.asarray(star_b))
             if out_a:
                 yield pd.DataFrame(
                     {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
                 )
+        # final bucket of the partition
+        out_a, out_b = [], []
+        flush(out_a, out_b)
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            )
 
-    return agg.mapInPandas(emit_pairs, pair_schema).distinct()
+    return tagged.mapInPandas(emit_pairs, pair_schema).distinct()
 
 
 def minhash_lsh_ctes(

@@ -198,14 +198,19 @@ def _cosine_topk_broadcast(
             ids = ids[mask]
             if len(ids) == 0:
                 continue
+            # NaN cosines (zero-norm vectors) sort FIRST under Spark's
+            # descending order; map them to +inf for the cut/ordering so
+            # this route agrees with the crossJoin route on degenerate
+            # inputs (the emitted value stays NaN)
+            rowk = np.where(np.isnan(row), np.inf, row)
             if len(ids) > k:
                 # k-th largest value bounds the exact top-k; ties at the cut
                 # stay in `cand` and the lexsort below breaks them by nbr_id
-                cut = np.partition(row, len(row) - k)[len(row) - k]
-                cand = np.nonzero(row >= cut)[0]
+                cut = np.partition(rowk, len(rowk) - k)[len(rowk) - k]
+                cand = np.nonzero(rowk >= cut)[0]
             else:
                 cand = np.arange(len(ids))
-            order = np.lexsort((ids[cand], -row[cand]))[:k]
+            order = np.lexsort((ids[cand], -rowk[cand]))[:k]
             sel = cand[order]
             out_q.append(np.full(len(sel), b_qids[qi]))
             out_n.append(ids[sel])
