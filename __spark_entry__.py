@@ -789,6 +789,16 @@ rules:
         )
 
     q["idx_incremental"] = _q_idx_incremental
+    # edge-anchored pattern through the index path (reference traversal-
+    # anchor pushdown, QueryCompiler.scala:544-615): the prefilter emits
+    # PFEdge('next') alongside the PFTerm, so the candidate join includes
+    # an outgoing_flat postings lookup (plan asserted in
+    # tests/test_index.py::test_idx_graph_edge_anchor_in_plan);
+    # max_candidate_frac=1.0 forces the join so the gate exercises the
+    # edge lookup, not the cost-model scan fallback. Results ≡ scan path.
+    q["idx_graph"] = lambda s, d: _idx_spans(
+        s, d, "agg >next []", max_candidate_frac=1.0
+    )
 
     # The driver's CORRECTNESS artifact records only the FIRST 50 entries
     # (insertion-ordered). Keep the load-bearing gates — the idx_* index
@@ -811,6 +821,9 @@ rules:
         "pat_opt_lazy",
         "graph_in",
         "graph_hop2",
+        # single-capture selection is inside recorded composites too
+        # (event_arg_filter explodes captures; pat_expand widens them)
+        "pat_capture",
     ]
     ordered = {k: v for k, v in q.items() if k not in demoted}
     for k in demoted:
@@ -928,6 +941,15 @@ WHERE a.tok = 'join' AND b.tok = 'small'
 """
     ).replace("ORDER BY doc_id, mstart, mend", "ORDER BY doc_id, mstart")
 
+    # index edge-anchor path ≡ scan path: distinct >next landings from 'agg'
+    o["idx_graph"] = spans(
+        """
+SELECT DISTINCT b.doc_id, b.pos AS mstart, (b.pos + 1)::INT AS mend, b.tok AS mtext
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'agg'
+""",
+        body=True,
+    )
     o["graph_out"] = spans(
         """
 SELECT DISTINCT b.doc_id, b.pos AS mstart, (b.pos + 1)::INT AS mend, b.tok AS mtext

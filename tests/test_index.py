@@ -742,3 +742,25 @@ def test_postings_sql_route_equals_python_route(spark):
         for r in sql.collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_idx_graph_edge_anchor_in_plan(index, scan_engine):
+    """An edge-anchored pattern through the index must (a) equal the scan
+    path and (b) actually use the outgoing_flat postings lookup when the
+    candidate join is forced."""
+    eng = index.engine(max_candidate_frac=1.0)
+    pat = "quick >next []"
+    a = sorted(
+        map(tuple, eng.mentions(pat).select("doc_id", "sent_id", "start", "end").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            scan_engine.mentions(pat)
+            .select("doc_id", "sent_id", "start", "end")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    plan = eng.mentions(pat)._jdf.queryExecution().executedPlan().toString()
+    assert "outgoing_flat" in plan and "LeftSemi" in plan
