@@ -510,12 +510,17 @@ rules:
     def dedup_clusters(s, d):
         """Composite dedup: minhash-LSH candidate pairs → connected
         components → one canonical id per document (the full corpus-dedup
-        shape a training pipeline runs: each cluster keeps min doc_id)."""
-        from odinson_spark.pipeline.components import connected_components
+        shape a training pipeline runs: each cluster keeps min doc_id).
+        Large-star/small-star components: the near-dup graph grows long
+        chains with corpus size (label propagation's 20-iteration budget
+        overflows at sf0.1 — inherited, pre-dated this round), while the
+        star rounds are O(log n) in diameter. Labels identical (min id of
+        the component), oracle unchanged."""
+        from odinson_spark.pipeline.components import connected_components_star
 
         docs = _t(s, d, "documents")
         pairs = dd.minhash_lsh_pairs(docs)
-        comp = connected_components(
+        comp = connected_components_star(
             docs.select(F.col("doc_id").alias("id")),
             pairs,
             src_col="doc_a",

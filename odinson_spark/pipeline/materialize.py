@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .components import connected_components
+from .components import connected_components_star
 from .linking import lsh_candidate_pairs, score_pairs
 
 
@@ -57,7 +57,9 @@ def build_graph(
         bands=bands, threshold=link_threshold, n_rows=n_surfaces,
     )
     links = score_pairs(pairs, surfaces, "node_id", "surface", threshold=link_threshold)
-    comp = connected_components(
+    # large-star/small-star: O(log n) rounds regardless of link-chain
+    # diameter (label propagation's fixed budget overflows on long chains)
+    comp = connected_components_star(
         surfaces.select("node_id"), links, id_col="node_id"
     ).withColumnRenamed("component", "canonical_id")
     nodes = surfaces.join(F.broadcast(comp), surfaces["node_id"] == comp["id"]).select(
